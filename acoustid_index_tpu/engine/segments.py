@@ -1,0 +1,170 @@
+"""Immutable segment-set snapshots and their packed device views.
+
+A snapshot is the engine's unit of isolation (the TPU analogue of
+/root/reference/src/Index.zig's refcounted `Segments`): readers grab the
+current snapshot object and search it without locks; the single writer
+builds a new snapshot and swaps the reference.  Python object references
+replace the reference's intrusive refcounts — device buffers are freed by GC
+when the last snapshot using them dies, which is exactly the reference's
+"merged-away file deleted when the last reader drops" behavior, minus the
+manual bookkeeping.
+
+Device packing is two-tier:
+  * the FILE tier holds checkpointed segments in one large HBM buffer pair;
+    it changes only at checkpoint/merge, so consecutive write batches share
+    it by reference and a write never copies the big table;
+  * the MEMORY tier holds recent write batches, bounded by the checkpoint
+    threshold, and repacks (cheaply) on every write.
+
+Capacities are bucketed to powers of two and slot counts are fixed, so XLA
+compiles a handful of programs regardless of index size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .memseg import Segment
+from .model import SearchOptions, SearchResult
+
+FILE_SLOTS = 32
+MEMORY_SLOTS = 16
+SENTINEL32 = np.uint32(0xFFFFFFFF)
+
+
+def _bucket(n: int, minimum: int) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def _pack_runs(arrays: Sequence[np.ndarray], cap: int, fill) -> np.ndarray:
+    out = np.full(cap, fill, dtype=arrays[0].dtype if arrays else np.uint32)
+    pos = 0
+    for a in arrays:
+        out[pos : pos + a.shape[0]] = a
+        pos += a.shape[0]
+    return out
+
+
+def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> Dict:
+    """Pack segments (oldest -> newest) into one padded tier pytree.
+
+    Slot k of the tier is ordinal k; postings and docs arrays are packed
+    contiguously in ordinal order (merge kernels rely on contiguity).
+    """
+    import jax.numpy as jnp
+
+    if len(segments) > slots:
+        raise ValueError(f"too many segments for tier: {len(segments)} > {slots}")
+
+    seg_len = np.zeros(slots, dtype=np.int32)
+    seg_start = np.zeros(slots, dtype=np.int32)
+    docs_len = np.zeros(slots, dtype=np.int32)
+    docs_start = np.zeros(slots, dtype=np.int32)
+    pos = dpos = 0
+    for k, s in enumerate(segments):
+        seg_start[k] = pos
+        seg_len[k] = s.num_items
+        pos += s.num_items
+        docs_start[k] = dpos
+        docs_len[k] = s.num_docs
+        dpos += s.num_docs
+
+    cap = _bucket(max(pos, 1), min_cap)
+    dcap = _bucket(max(dpos, 1), min_cap)
+
+    hashes = _pack_runs([s.hashes for s in segments], cap, SENTINEL32)
+    docids = _pack_runs([s.docids for s in segments], cap, SENTINEL32)
+    docs_ids = _pack_runs([s.docs_ids for s in segments], dcap, SENTINEL32)
+    docs_alive = _pack_runs(
+        [s.docs_alive.astype(np.int32) for s in segments], dcap, np.int32(0)
+    )
+
+    return {
+        "hashes": jnp.asarray(hashes),
+        "docids": jnp.asarray(docids),
+        "seg_start": jnp.asarray(seg_start),
+        "seg_len": jnp.asarray(seg_len),
+        "docs_ids": jnp.asarray(docs_ids),
+        "docs_alive": jnp.asarray(docs_alive),
+        "docs_start": jnp.asarray(docs_start),
+        "docs_len": jnp.asarray(docs_len),
+    }
+
+
+def tier_view_for_search(tier: Dict) -> Dict:
+    """The search kernel's input pytree (docs_alive is merge-only)."""
+    return {k: v for k, v in tier.items() if k != "docs_alive"}
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """Immutable view of one index state. Cheap to copy-and-extend: the file
+    tier's device buffers are shared by reference across snapshots."""
+
+    file: Tuple[Segment, ...] = ()
+    memory: Tuple[Segment, ...] = ()
+    # Internal dense commit ids (newest committed / newest durable-in-file).
+    commit_id: int = 0
+    file_commit_id: int = 0
+    # The same two points as upstream changelog positions (see segment.zig).
+    version: int = 0
+    file_version: int = 0
+    external_versions: bool = False
+    # Packed device views (built by Index; shared where unchanged).
+    file_view: Optional[Dict] = None
+    mem_view: Optional[Dict] = None
+
+    # ---- host-side queries (API surface; search itself runs on device) ----
+
+    def all_segments(self) -> Tuple[Segment, ...]:
+        return self.file + self.memory
+
+    def num_segments(self) -> int:
+        return len(self.file) + len(self.memory)
+
+    def num_docs(self) -> int:
+        return sum(s.num_docs for s in self.all_segments())
+
+    def min_doc_id(self) -> int:
+        result = 0
+        for s in self.all_segments():
+            if s.min_doc_id != 0 and (result == 0 or s.min_doc_id < result):
+                result = s.min_doc_id
+        return result
+
+    def max_doc_id(self) -> int:
+        result = 0
+        for s in self.all_segments():
+            result = max(result, s.max_doc_id)
+        return result
+
+    def metadata(self) -> Dict[str, str]:
+        md: Dict[str, str] = {}
+        for s in self.all_segments():  # oldest -> newest, newest key wins
+            md.update(s.metadata)
+        return md
+
+    def get_doc_info(self, doc_id: int):
+        """Newest segment mentioning the doc wins (Segments.getDocInfo)."""
+        for s in reversed(self.all_segments()):
+            if s.min_doc_id <= doc_id <= s.max_doc_id:
+                alive = s.doc_alive(doc_id)
+                if alive is not None:
+                    return (s.info.effective_version(), not alive)
+        return None
+
+    def has_newer_commit(self, doc_id: int, commit_id: int) -> bool:
+        """Any segment strictly newer than `commit_id` mentions the doc
+        (Segments.hasNewerCommit, Index.zig:133-149)."""
+        for s in reversed(self.all_segments()):
+            if s.info.commit_id <= commit_id:
+                return False
+            if s.min_doc_id <= doc_id <= s.max_doc_id and s.mentions(doc_id):
+                return True
+        return False

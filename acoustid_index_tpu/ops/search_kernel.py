@@ -1,0 +1,209 @@
+"""The device search kernel: exact fpindex scoring as one jitted XLA program.
+
+Reference semantics being reproduced (see /root/reference/src):
+  * per query hash, find its postings run in every segment and count one hit
+    per posting occurrence (FileSegment.zig:135-180, MemorySegment.zig:44-54);
+  * per doc, the *newest* segment with any hit wins and its hit count is the
+    score (SearchResults.incr, common.zig:121-129);
+  * candidates with score >= min_score are ranked (score desc, id asc); a doc
+    is dropped if any newer segment *mentions* it (insert or tombstone —
+    Segments.hasNewerCommit, Index.zig:133-149); the relative score_pct
+    cutoff anchors on the best surviving candidate; at most `limit` results
+    (SearchResults.finish, common.zig:131-167).
+
+Mapping to TPU: segments are immutable sorted (hash, docid) runs packed into
+flat HBM buffers — one buffer pair per tier.  The file tier is large and
+changes only at checkpoint/merge; the memory tier repacks per write batch and
+stays small (bounded by the checkpoint threshold), so a write never touches
+the big buffer.  Global segment ordinals run file-tier-first then memory
+tier, oldest to newest — the same order the reference scans segments and the
+order commit ids ascend, so ordinal comparison decides supersession exactly
+like commit-id comparison does in SearchResults.incr.
+
+For a query we run a fixed-step binary search for all (segment, hash) pairs
+at once, expand the ragged hit ranges into a fixed postings budget P via a
+prefix-sum gather, sort once by (docid, ordinal), score runs by run length,
+and resolve supersession with membership binary searches over the packed
+per-segment mentioned-docs arrays.  Everything is static-shaped and
+jit-compiled; the same program runs on CPU for tests and TPU for serving.
+
+Work bounds: K caps postings per (hash, segment) — the analogue of the
+reference's MAX_DOCS_PER_HASH=1000 scan bound (FileSegment.zig:25-26) — and
+P caps total postings per query; `truncated` reports when either bound
+clipped real postings.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .binsearch import lower_bound, upper_bound, member_count
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+# Pytree layout of one tier of a packed segment view (see engine/segments.py):
+#   hashes:   u32[CAP]   postings sort key, packed contiguously per segment
+#   docids:   u32[CAP]   postings payload
+#   seg_start i32[S], seg_len i32[S]   slot table (len 0 = unused slot)
+#   docs_ids  u32[DCAP]  per-segment sorted mentioned-doc arrays, packed
+#   docs_start i32[S], docs_len i32[S]
+TIER_FIELDS = ("hashes", "docids", "seg_start", "seg_len", "docs_ids", "docs_start", "docs_len")
+
+
+@dataclass(frozen=True)
+class SearchParams:
+    """Static kernel configuration (one compiled program per distinct value)."""
+
+    query_len: int = 256  # padded query hashes
+    postings_budget: int = 16384  # P: max postings gathered per query
+    per_hash_cap: int = 1024  # K: max postings per (hash, segment)
+    candidate_cap: int = 1024  # C: max candidates ranked
+    out_len: int = 128  # padded results (the API caps limit at 100)
+
+
+def _shift_left(x: jax.Array, fill) -> jax.Array:
+    return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+
+def _tier_ranges(tier, query, valid_q, cap_k):
+    """(lo, hi, counts) for every (segment, query hash) pair of one tier."""
+    start2 = tier["seg_start"][:, None]
+    len2 = tier["seg_len"][:, None]
+    lo = lower_bound(tier["hashes"], query[None, :], start2, len2)
+    hi = upper_bound(tier["hashes"], query[None, :], start2, len2)
+    counts = (hi - lo).astype(jnp.int32)
+    counts = jnp.where(valid_q, counts, 0)
+    return lo, jnp.minimum(counts, cap_k), jnp.any(counts > cap_k)
+
+
+def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
+    Q, P, K, C = p.query_len, p.postings_budget, p.per_hash_cap, p.candidate_cap
+    S_F = file_tier["seg_start"].shape[0]
+    S_M = mem_tier["seg_start"].shape[0]
+    S = S_F + S_M
+
+    valid_q = (jnp.arange(Q, dtype=jnp.int32) < q_len)[None, :]
+
+    f_lo, f_counts, f_trunc = _tier_ranges(file_tier, query, valid_q, K)
+    m_lo, m_counts, m_trunc = _tier_ranges(mem_tier, query, valid_q, K)
+
+    # 2. Ragged -> dense gather plan over the concatenated (segment, hash)
+    # ranges; flat index j // Q is the global segment ordinal.
+    flat_counts = jnp.concatenate([f_counts.reshape(-1), m_counts.reshape(-1)])
+    flat_lo = jnp.concatenate([f_lo.reshape(-1), m_lo.reshape(-1)])
+    cum = jnp.cumsum(flat_counts, dtype=jnp.int32)
+    grand_total = cum[-1]
+    total = jnp.minimum(grand_total, P)
+
+    pos = jnp.arange(P, dtype=jnp.int32)
+    j = jnp.searchsorted(cum, pos, side="right").astype(jnp.int32)
+    j = jnp.clip(j, 0, S * Q - 1)
+    within = pos - (cum[j] - flat_counts[j])
+    src = flat_lo[j] + within
+    p_valid = pos < total
+    is_mem = j >= S_F * Q
+
+    f_vals = file_tier["docids"][jnp.clip(src, 0, file_tier["docids"].shape[0] - 1)]
+    m_vals = mem_tier["docids"][jnp.clip(src, 0, mem_tier["docids"].shape[0] - 1)]
+    d = jnp.where(p_valid, jnp.where(is_mem, m_vals, f_vals), SENTINEL)
+    o = jnp.where(p_valid, j // Q, S).astype(jnp.int32)
+    inv = jnp.logical_not(p_valid).astype(jnp.int32)
+
+    # 3. One sort by (validity, docid, ordinal); runs = (docid, ordinal) groups.
+    inv, d, o = jax.lax.sort((inv, d, o), num_keys=3)
+    p_valid = inv == 0
+
+    d_prev = jnp.concatenate([jnp.full((1,), 0, d.dtype), d[:-1]])
+    o_prev = jnp.concatenate([jnp.full((1,), -1, o.dtype), o[:-1]])
+    first = jnp.arange(P, dtype=jnp.int32) == 0
+    run_start = jnp.logical_or(first, jnp.logical_or(d != d_prev, o != o_prev))
+    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    run_score = jax.ops.segment_sum(p_valid.astype(jnp.int32), run_id, num_segments=P)
+
+    d_next = _shift_left(d, 0)
+    valid_next = _shift_left(p_valid, False)
+    last_pos = jnp.arange(P, dtype=jnp.int32) == P - 1
+    # Last posting of a doc group == the run of its newest segment (ordinals
+    # ascend within a doc group), i.e. the hit SearchResults.incr keeps.
+    doc_last = jnp.logical_and(
+        p_valid,
+        jnp.logical_or(last_pos, jnp.logical_or(d != d_next, jnp.logical_not(valid_next))),
+    )
+
+    score = run_score[run_id]
+    cand = jnp.logical_and(doc_last, score >= min_score)
+
+    # 4. Rank candidates (score desc, id asc) and take the top C.
+    ki, _, cd, co, csc = jax.lax.sort(
+        (jnp.logical_not(cand).astype(jnp.int32), -score, d, o, score), num_keys=3
+    )
+    c_valid = ki[:C] == 0
+    cd, co, csc = cd[:C], co[:C], csc[:C]
+
+    # 5. Supersession: mentioned in any strictly newer segment -> dead.
+    def tier_mentions(tier):
+        return (
+            member_count(
+                tier["docs_ids"], cd[:, None], tier["docs_start"][None, :], tier["docs_len"][None, :]
+            )
+            > 0
+        )
+
+    mentioned = jnp.concatenate([tier_mentions(file_tier), tier_mentions(mem_tier)], axis=1)  # (C, S)
+    newer = jnp.arange(S, dtype=jnp.int32)[None, :] > co[:, None]
+    dead = jnp.any(jnp.logical_and(mentioned, newer), axis=1)
+    alive = jnp.logical_and(c_valid, jnp.logical_not(dead))
+
+    # 6. Final cutoffs: the best survivor anchors the relative threshold
+    # (finish() raises min_score once, on the first surviving candidate).
+    best = jnp.max(jnp.where(alive, csc, 0))
+    cutoff = jnp.maximum(min_score, best * pct // 100)
+    rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    keep = jnp.logical_and(alive, jnp.logical_and(csc >= cutoff, rank < limit))
+
+    # 7. Compact kept results to the front (order is already score desc, id asc).
+    order = jnp.arange(C, dtype=jnp.int32)
+    _, _, out_ids, out_scores = jax.lax.sort(
+        (jnp.logical_not(keep).astype(jnp.int32), order, cd, csc), num_keys=2
+    )
+    n = jnp.sum(keep.astype(jnp.int32))
+
+    out_ids = out_ids[: p.out_len]
+    out_scores = out_scores[: p.out_len]
+    mask = jnp.arange(p.out_len, dtype=jnp.int32) < n
+    return {
+        "ids": jnp.where(mask, out_ids, 0),
+        "scores": jnp.where(mask, out_scores, 0),
+        "count": n,
+        "postings_scanned": total,
+        "truncated": jnp.logical_or(jnp.logical_or(f_trunc, m_trunc), grand_total > P),
+    }
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def search_segments(params: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
+    """Single-query search over a two-tier packed segment view."""
+    return _search_one(params, file_tier, mem_tier, query, q_len, limit, min_score, pct)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def search_segments_batch(params: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
+    """Batched search: query/q_len/limit/min_score/pct carry a leading batch
+    dimension; the tables are shared.  The serving path batches concurrent
+    searches into one device program."""
+    fn = functools.partial(_search_one, params)
+    return jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0, 0))(
+        file_tier, mem_tier, query, q_len, limit, min_score, pct
+    )
+
+
+def make_search_fn(params: SearchParams, batch: bool = False):
+    """A search callable bound to static `params`.  Compiled programs are
+    cached process-wide (keyed on params + input shapes), so constructing
+    many callers never recompiles."""
+    base = search_segments_batch if batch else search_segments
+    return functools.partial(base, params)

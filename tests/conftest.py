@@ -1,0 +1,11 @@
+import os
+import sys
+
+# Tests run on the CPU backend with a virtual 8-device mesh so sharding paths
+# compile and execute without TPU hardware. Must be set before jax imports.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

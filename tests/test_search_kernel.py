@@ -1,0 +1,161 @@
+"""Device search kernel vs. the reference-semantics oracle."""
+
+import numpy as np
+import pytest
+
+from acoustid_index_tpu.engine.memseg import Segment, build_segment
+from acoustid_index_tpu.engine.model import Delete, Insert, SegmentInfo, SearchOptions
+from acoustid_index_tpu.engine.searcher import Searcher
+from acoustid_index_tpu.engine.segments import Snapshot, pack_tier, FILE_SLOTS, MEMORY_SLOTS
+
+from oracle import OracleSegment, oracle_search
+
+
+def seg_from_docs(docs, commit_id, deletes=()):
+    """docs: dict[id -> list of hashes]; deletes: ids tombstoned here."""
+    changes = [Insert(id=i, hashes=h) for i, h in docs.items()]
+    changes += [Delete(id=i) for i in deletes]
+    return build_segment(changes, SegmentInfo(commit_id=commit_id))
+
+
+def to_oracle(seg):
+    items = list(zip(seg.hashes.tolist(), seg.docids.tolist()))
+    docs = dict(zip(seg.docs_ids.tolist(), seg.docs_alive.tolist()))
+    return OracleSegment(items, docs)
+
+
+def make_snapshot(file_segs, mem_segs):
+    return Snapshot(
+        file=tuple(file_segs),
+        memory=tuple(mem_segs),
+        file_view=pack_tier(file_segs, FILE_SLOTS),
+        mem_view=pack_tier(mem_segs, MEMORY_SLOTS),
+    )
+
+
+def run_both(file_segs, mem_segs, query, limit=10, min_score=1, pct=10):
+    searcher = Searcher()
+    snap = make_snapshot(file_segs, mem_segs)
+    got, _ = searcher.search(
+        snap, query, SearchOptions(max_results=limit, min_score=min_score, min_score_pct=pct)
+    )
+    got = [(r.id, r.score) for r in got]
+    # Oracle ordinal space: file slots 0..FILE_SLOTS-1 then memory; empty
+    # trailing slots never mention docs so plain concatenation is equivalent.
+    want = oracle_search(
+        [to_oracle(s) for s in file_segs] + [to_oracle(s) for s in mem_segs],
+        query,
+        limit=limit,
+        min_score=min_score,
+        pct=pct,
+    )
+    assert got == want, f"query={query}\n got={got}\nwant={want}"
+    return got
+
+
+def test_single_segment_intersection():
+    seg = seg_from_docs({1: [10, 20, 30], 2: [20, 30, 40], 3: [99]}, commit_id=1)
+    res = run_both([], [seg], [20, 30, 40])
+    assert res[0] == (2, 3)
+    assert (1, 2) in res
+
+
+def test_duplicate_hashes_in_doc_count_twice():
+    # MemorySegment.build keeps duplicate hashes; each posting scores one hit.
+    seg = seg_from_docs({7: [5, 5, 5]}, commit_id=1)
+    res = run_both([], [seg], [5], min_score=1)
+    assert res == [(7, 3)]
+
+
+def test_duplicate_query_hashes_count_once():
+    seg = seg_from_docs({7: [5, 6]}, commit_id=1)
+    res = run_both([], [seg], [5, 5, 5, 6], min_score=1)
+    assert res == [(7, 2)]
+
+
+def test_newer_segment_wins_score():
+    old = seg_from_docs({1: [10, 20, 30]}, commit_id=1)
+    new = seg_from_docs({1: [10]}, commit_id=2)
+    # Doc 1 re-inserted with fewer hashes: only the new version scores.
+    res = run_both([], [old, new], [10, 20, 30], min_score=1)
+    assert res == [(1, 1)]
+
+
+def test_tombstone_suppresses_older_hits():
+    old = seg_from_docs({1: [10, 20], 2: [10, 20]}, commit_id=1)
+    tomb = seg_from_docs({}, commit_id=2, deletes=[1])
+    res = run_both([], [old, tomb], [10, 20], min_score=1)
+    assert res == [(2, 2)]
+
+
+def test_file_and_memory_tiers_combine():
+    f1 = seg_from_docs({1: [10, 20], 2: [30]}, commit_id=1)
+    f2 = seg_from_docs({3: [10, 40]}, commit_id=2)
+    m1 = seg_from_docs({2: [10, 20, 40]}, commit_id=3)
+    run_both([f1, f2], [m1], [10, 20, 30, 40], min_score=1)
+
+
+def test_min_score_filters():
+    seg = seg_from_docs({1: [10], 2: [10, 20], 3: [10, 20, 30]}, commit_id=1)
+    res = run_both([], [seg], [10, 20, 30], min_score=2, pct=0)
+    assert res == [(3, 3), (2, 2)]
+
+
+def test_score_pct_anchors_on_best_survivor():
+    # Best raw scorer is superseded; the pct anchor must use the survivor.
+    old = seg_from_docs({1: [10, 20, 30, 40, 50], 2: [10, 20]}, commit_id=1)
+    newer = seg_from_docs({1: [99]}, commit_id=2)
+    res = run_both([], [old, newer], [10, 20, 30, 40, 50], min_score=1, pct=60)
+    # Survivors: doc 2 (score 2, anchor -> cutoff max(1, 2*60//100)=1).
+    assert res[0] == (2, 2)
+
+
+def test_limit_and_tiebreak_by_id():
+    seg = seg_from_docs({i: [10] for i in range(1, 20)}, commit_id=1)
+    res = run_both([], [seg], [10], limit=5, min_score=1, pct=0)
+    assert res == [(i, 1) for i in range(1, 6)]
+
+
+def test_empty_query_and_empty_index():
+    searcher = Searcher()
+    snap = make_snapshot([], [])
+    got, _ = searcher.search(snap, [], SearchOptions())
+    assert got == []
+    got, _ = searcher.search(snap, [1, 2, 3], SearchOptions())
+    assert got == []
+
+
+def test_sentinel_hash_value_is_searchable():
+    seg = seg_from_docs({1: [0xFFFFFFFF, 5]}, commit_id=1)
+    res = run_both([], [seg], [0xFFFFFFFF, 5], min_score=1)
+    assert res == [(1, 2)]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_parity(seed):
+    rng = np.random.default_rng(seed)
+    n_file = int(rng.integers(0, 4))
+    n_mem = int(rng.integers(0, 5))
+    if n_file + n_mem == 0:
+        n_mem = 1
+    hash_space = 60  # small space -> heavy collisions, duplicates, supersession
+    id_space = 40
+    commit = 1
+    file_segs, mem_segs = [], []
+    for out, n in ((file_segs, n_file), (mem_segs, n_mem)):
+        for _ in range(n):
+            docs = {}
+            for _ in range(int(rng.integers(1, 12))):
+                did = int(rng.integers(1, id_space))
+                docs[did] = [int(h) for h in rng.integers(0, hash_space, rng.integers(1, 10))]
+            deletes = [int(d) for d in rng.integers(1, id_space, rng.integers(0, 3))]
+            deletes = [d for d in deletes if d not in docs]
+            out.append(seg_from_docs(docs, commit_id=commit, deletes=deletes))
+            commit += 1
+    for _ in range(8):
+        qlen = int(rng.integers(1, 15))
+        query = [int(h) for h in rng.integers(0, hash_space, qlen)]
+        limit = int(rng.integers(1, 8))
+        min_score = int(rng.integers(0, 3))
+        pct = int(rng.choice([0, 10, 50, 90]))
+        run_both(file_segs, mem_segs, query, limit=limit, min_score=min_score, pct=pct)
