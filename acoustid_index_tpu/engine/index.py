@@ -1,0 +1,437 @@
+"""One index: a WAL plus an immutable snapshot of segments, searched on
+device.
+
+Orchestration mirrors /root/reference/src/Index.zig with Python threading in
+place of coroutines and immutable Python objects + GC in place of intrusive
+refcounts:
+
+  * readers grab `self._snapshot` (an immutable Snapshot) and search it with
+    no lock; the single writer builds a new Snapshot and swaps the reference;
+  * write path: build the memory segment BEFORE the durable oplog append (a
+    build failure never leaves the log ahead of memory); the append is the
+    commit point; the swap after it cannot fail;
+  * a background maintenance thread cascades memory merges -> checkpoint ->
+    file merges, level-triggered by an event and optionally by a checkpoint
+    age timer;
+  * checkpoint: memory segments merge into one file segment; the MANIFEST
+    write is the durable commit point; the WAL is truncated after;
+  * file merge: tiered-policy-selected adjacent range; retired segment files
+    are deleted after the manifest commit (readers never touch disk — the
+    arrays are RAM/HBM-resident — so deletion is immediate, unlike the
+    reference's deferred delete_on_destroy).
+
+Device views: the packed file-tier buffers are shared by reference across
+snapshots and rebuilt only when the file set changes; the memory tier
+repacks per write (bounded by the checkpoint threshold).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from . import filefmt, manifest
+from .errors import SearchTimeout, VersionRequired
+from .memseg import Segment, build_segment, merge_segments
+from .merge_policy import TieredMergePolicy
+from .model import Change, SearchOptions, SearchResult, SegmentInfo, Transaction
+from .oplog import Oplog
+from .searcher import Searcher, SearchStats, default_searcher
+from .segments import FILE_SLOTS, MEMORY_SLOTS, Snapshot, pack_tier
+
+log = logging.getLogger("acoustid_index_tpu.index")
+
+
+class Index:
+    DEFAULT_CHECKPOINT_THRESHOLD = 100_000
+    DEFAULT_CHECKPOINT_AGE = 60.0  # seconds; None disables
+
+    def __init__(
+        self,
+        path: str,
+        oplog: Oplog,
+        snapshot: Snapshot,
+        checkpoint_threshold: int,
+        checkpoint_age: Optional[float],
+        searcher: Optional[Searcher] = None,
+    ):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.oplog = oplog
+        self.checkpoint_threshold = checkpoint_threshold
+        self.checkpoint_age = checkpoint_age
+        self.searcher = searcher or default_searcher()
+
+        self._write_lock = threading.RLock()
+        self._snapshot_lock = threading.Lock()
+        self._snapshot = snapshot
+
+        # Writer-owned bookkeeping (stable under the write lock).
+        self.commit_id = snapshot.commit_id
+        self.file_commit_id = snapshot.file_commit_id
+        self.version = snapshot.version
+        self.file_version = snapshot.file_version
+        self.external_versions = snapshot.external_versions
+
+        self._pending_since: Optional[float] = None
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._maintenance: Optional[threading.Thread] = None
+        self.on_commit = None  # hook for metrics / tests
+
+        self.memory_merge_policy = TieredMergePolicy(
+            max_segments=16,
+            min_segment_size=100,
+            max_segment_size=checkpoint_threshold,
+            segments_per_merge=10,
+            segments_per_level=5,
+        )
+        self.file_merge_policy = TieredMergePolicy(
+            min_segment_size=100,
+            max_segment_size=1_000_000_000,
+            segments_per_merge=10,
+            segments_per_level=10,
+        )
+
+    # ---- open / close ----
+
+    @classmethod
+    def open(
+        cls,
+        path: str,
+        checkpoint_threshold: int = DEFAULT_CHECKPOINT_THRESHOLD,
+        checkpoint_age: Optional[float] = DEFAULT_CHECKPOINT_AGE,
+        sync: bool = True,
+        load_concurrency: Optional[int] = None,
+        searcher: Optional[Searcher] = None,
+    ) -> "Index":
+        data_dir = os.path.join(path, "data")
+        oplog_dir = os.path.join(path, "oplog")
+        os.makedirs(data_dir, exist_ok=True)
+        os.makedirs(oplog_dir, exist_ok=True)
+
+        # 1. Load the manifest's file segments (concurrently: loads are
+        # IO-bound whole-file reads; bounded by load_concurrency).
+        infos = manifest.read_manifest(data_dir)
+        if infos:
+            workers = load_concurrency or min(8, len(infos))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                file_segments = list(pool.map(lambda i: filefmt.read_segment(data_dir, i), infos))
+        else:
+            file_segments = []
+
+        file_commit_id = 0
+        file_version = 0
+        external = False
+        for seg in file_segments:
+            file_commit_id = max(file_commit_id, seg.info.last_commit_id())
+            file_version = max(file_version, seg.info.effective_version())
+            if seg.info.version is not None:
+                external = True
+
+        # 2. Replay the WAL tail (txn.id > file_commit_id) into memory
+        # segments; checkpointed transactions still mark upstream-fed.
+        memory_segments: List[Segment] = []
+        state = {"external": external}
+
+        def apply(txn: Transaction):
+            if txn.version is not None:
+                state["external"] = True
+            if txn.id <= file_commit_id:
+                return
+            memory_segments.append(
+                build_segment(txn.changes, SegmentInfo(commit_id=txn.id, merges=0, version=txn.version))
+            )
+
+        oplog = Oplog.open(oplog_dir, sync=sync, handler=apply)
+
+        if len(memory_segments) > MEMORY_SLOTS - 8:
+            # The replayed WAL tail can hold many transactions (one memory
+            # segment each); the device view has static slots, so fold the
+            # tail into one segment.  Supersession inside the fold needs the
+            # whole collection as the oracle.
+            whole = Snapshot(file=tuple(file_segments), memory=tuple(memory_segments))
+            memory_segments = [merge_segments(memory_segments, whole.has_newer_commit)]
+
+        commit_id = max(file_commit_id, oplog.last_commit_id)
+        version = max(file_version, oplog.last_version)
+        # The WAL can hold less than the index (a bootstrap deletes it and
+        # restores donor segments); seed it from the recovered maxima so the
+        # next append keeps commit ids dense.
+        oplog.last_commit_id = commit_id
+        oplog.last_version = version
+
+        snapshot = Snapshot(
+            file=tuple(file_segments),
+            memory=tuple(memory_segments),
+            commit_id=commit_id,
+            file_commit_id=file_commit_id,
+            version=version,
+            file_version=file_version,
+            external_versions=state["external"],
+            file_view=pack_tier(file_segments, FILE_SLOTS),
+            mem_view=pack_tier(memory_segments, MEMORY_SLOTS),
+        )
+        return cls(path, oplog, snapshot, checkpoint_threshold, checkpoint_age, searcher)
+
+    def close(self) -> None:
+        self.stop()
+        self.oplog.close()
+
+    # ---- maintenance thread ----
+
+    def start(self) -> None:
+        if self._maintenance is None:
+            self._stop.clear()
+            self._maintenance = threading.Thread(target=self._maintenance_loop, daemon=True, name=f"maint:{self.path}")
+            self._maintenance.start()
+
+    def stop(self) -> None:
+        if self._maintenance is not None:
+            self._stop.set()
+            self._wake.set()
+            self._maintenance.join(timeout=120)
+            self._maintenance = None
+
+    def _maintenance_loop(self) -> None:
+        while not self._stop.is_set():
+            self._wake.wait(timeout=self.checkpoint_age)
+            self._wake.clear()  # reset before processing so a set() mid-pass isn't lost
+            if self._stop.is_set():
+                return
+            try:
+                self.run_maintenance()
+            except Exception:
+                log.exception("maintenance failed")
+
+    def run_maintenance(self) -> None:
+        """Cascade pending work until nothing is left."""
+        while not self._stop.is_set():
+            if self.merge_memory():
+                continue
+            if self.checkpoint(force=False):
+                continue
+            if self.merge_files():
+                continue
+            break
+
+    # ---- readers ----
+
+    def acquire_reader(self) -> Snapshot:
+        with self._snapshot_lock:
+            return self._snapshot
+
+    def search(self, query: Sequence[int], options: SearchOptions, timeout: Optional[float] = None):
+        start = time.monotonic()
+        snapshot = self.acquire_reader()
+        results, stats = self.searcher.search(snapshot, query, options)
+        if timeout is not None and timeout > 0 and (time.monotonic() - start) > timeout:
+            raise SearchTimeout(f"search exceeded {timeout}s")
+        return results, stats
+
+    # ---- writer ----
+
+    def update(
+        self,
+        changes: Sequence[Change],
+        expected_version: Optional[int] = None,
+        version: Optional[int] = None,
+    ) -> int:
+        """Apply a batch; returns the new version. The oplog append is the
+        commit point (Index.zig:515-587)."""
+        with self._write_lock:
+            # Once anything carries an upstream position, every later commit
+            # needs one — a minted local version would advertise a watermark
+            # the upstream never issued (Index.zig:525-534).
+            if self.external_versions and version is None:
+                raise VersionRequired("index is upstream-fed; local writes are not allowed")
+
+            seg = build_segment(changes, SegmentInfo())  # info stamped post-commit
+
+            cur = self.acquire_reader()
+            if len(cur.memory) >= MEMORY_SLOTS:
+                # Backpressure: the device view has a static slot count; fold
+                # the memory tier before accepting more (the reference lets the
+                # list grow and trims lazily; we bound it structurally).
+                self._merge_memory_locked(all_segments=True)
+                cur = self.acquire_reader()
+
+            commit_id, resolved = self.oplog.append(changes, expected_version=expected_version, version=version)
+            # `version`, not `resolved`: a local commit must stay unmarked or
+            # the segment would look upstream-fed.
+            from dataclasses import replace as _replace
+
+            seg = _replace(seg, info=SegmentInfo(commit_id=commit_id, merges=0, version=version))
+            new_memory = cur.memory + (seg,)
+            self.external_versions = self.external_versions or version is not None
+            snap = Snapshot(
+                file=cur.file,
+                memory=new_memory,
+                commit_id=commit_id,
+                file_commit_id=self.file_commit_id,
+                version=resolved,
+                file_version=self.file_version,
+                external_versions=self.external_versions,
+                file_view=cur.file_view,  # shared: the write never touches the big buffer
+                mem_view=pack_tier(new_memory, MEMORY_SLOTS),
+            )
+            self._swap(snap)
+            self._wake.set()
+            if self.on_commit:
+                self.on_commit(self)
+            return resolved
+
+    def _swap(self, snap: Snapshot) -> None:
+        with self._snapshot_lock:
+            self._snapshot = snap
+        self.commit_id = snap.commit_id
+        self.file_commit_id = snap.file_commit_id
+        self.version = snap.version
+        self.file_version = snap.file_version
+
+    # ---- maintenance ops ----
+
+    def merge_memory(self) -> bool:
+        with self._write_lock:
+            return self._merge_memory_locked()
+
+    def _merge_memory_locked(self, all_segments: bool = False) -> bool:
+        cur = self.acquire_reader()
+        mem = cur.memory
+        sizes = [s.get_size() for s in mem]
+        if all_segments:
+            if len(mem) < 2:
+                return False
+            lo, hi = 0, len(mem)
+        else:
+            cand = self.memory_merge_policy.should_merge(sizes)
+            if cand is None:
+                return False
+            lo, hi = cand.start, cand.end
+        merged = merge_segments(mem[lo:hi], cur.has_newer_commit)
+        new_memory = mem[:lo] + (merged,) + mem[hi:]
+        snap = Snapshot(
+            file=cur.file,
+            memory=new_memory,
+            commit_id=self.commit_id,
+            file_commit_id=self.file_commit_id,
+            version=self.version,
+            file_version=self.file_version,
+            external_versions=self.external_versions,
+            file_view=cur.file_view,
+            mem_view=pack_tier(new_memory, MEMORY_SLOTS),
+        )
+        self._swap(snap)
+        log.info("merged %d memory segments -> %s (%d items)", hi - lo, merged.info, merged.num_items)
+        return True
+
+    def checkpoint(self, force: bool = False) -> bool:
+        """Flush all memory segments to one file segment; the manifest write
+        is the durable commit; truncate the WAL after."""
+        cur = self.acquire_reader()
+        flush_count = len(cur.memory)
+        if flush_count == 0:
+            self._pending_since = None
+            return False
+        if self._pending_since is None:
+            self._pending_since = time.monotonic()
+        over = sum(s.get_size() for s in cur.memory) > self.checkpoint_threshold
+        aged = (
+            self.checkpoint_age is not None
+            and (time.monotonic() - self._pending_since) >= self.checkpoint_age
+        )
+        if not force and not over and not aged:
+            return False
+
+        # Merge outside the write lock; updates keep flowing (they append to
+        # the memory suffix; the flushed prefix is stable).
+        fseg = merge_segments(cur.memory, cur.has_newer_commit)
+        filefmt.write_segment(self.data_dir, fseg)
+
+        with self._write_lock:
+            latest = self.acquire_reader()
+            if (
+                len(latest.memory) < flush_count
+                or any(a is not b for a, b in zip(latest.memory[:flush_count], cur.memory))
+            ):
+                # A writer-side backpressure merge folded the prefix while we
+                # were merging; drop this attempt and let the loop retry.
+                filefmt.delete_segment_file(self.data_dir, fseg.info)
+                return True
+            kept = latest.memory[flush_count:]
+            new_file = latest.file + (fseg,)
+            snap = Snapshot(
+                file=new_file,
+                memory=kept,
+                commit_id=self.commit_id,
+                file_commit_id=max(self.file_commit_id, fseg.info.last_commit_id()),
+                version=self.version,
+                file_version=max(self.file_version, fseg.info.effective_version()),
+                external_versions=self.external_versions,
+                file_view=pack_tier(new_file, FILE_SLOTS),
+                mem_view=pack_tier(kept, MEMORY_SLOTS),
+            )
+            manifest.write_manifest(self.data_dir, [s.info for s in new_file])  # COMMIT
+            self._swap(snap)
+            self._pending_since = None if not kept else time.monotonic()
+            try:
+                self.oplog.truncate(self.file_commit_id)
+            except OSError:
+                log.warning("oplog truncate failed", exc_info=True)
+        log.info("checkpointed to file segment %s (%d items)", fseg.info, fseg.num_items)
+        return True
+
+    def merge_files(self) -> bool:
+        cur = self.acquire_reader()
+        sizes = [s.get_size() for s in cur.file]
+        cand = self.file_merge_policy.should_merge(sizes)
+        if cand is None and len(cur.file) > FILE_SLOTS - 2:
+            # Structural bound: the device view has static slots.
+            from .merge_policy import MergeCandidate
+
+            cand = MergeCandidate(start=0, end=min(len(cur.file), 10), size=0)
+        if cand is None:
+            return False
+        lo, hi = cand.start, cand.end
+        if hi - lo < 2:
+            return False
+
+        retired = cur.file[lo:hi]
+        fseg = merge_segments(retired, cur.has_newer_commit)
+        filefmt.write_segment(self.data_dir, fseg)
+
+        with self._write_lock:
+            latest = self.acquire_reader()
+            # File segments only change on this (single) maintenance path, so
+            # lo/hi remain valid; memory may have grown.
+            new_file = latest.file[:lo] + (fseg,) + latest.file[hi:]
+            snap = Snapshot(
+                file=new_file,
+                memory=latest.memory,
+                commit_id=self.commit_id,
+                file_commit_id=self.file_commit_id,
+                version=self.version,
+                file_version=self.file_version,
+                external_versions=self.external_versions,
+                file_view=pack_tier(new_file, FILE_SLOTS),
+                mem_view=latest.mem_view,
+            )
+            manifest.write_manifest(self.data_dir, [s.info for s in new_file])  # COMMIT
+            self._swap(snap)
+        # Retired files can go immediately: search reads RAM/HBM arrays, never
+        # the files, and the manifest no longer references them.
+        for s in retired:
+            filefmt.delete_segment_file(self.data_dir, s.info)
+        log.info("merged %d file segments -> %s (%d items)", hi - lo, fseg.info, fseg.num_items)
+        return True
+
+    def flush(self) -> None:
+        """Flush everything to disk (used before snapshot install)."""
+        with self._write_lock:
+            while self._merge_memory_locked(all_segments=True):
+                pass
+        self.checkpoint(force=True)

@@ -30,8 +30,8 @@ import numpy as np
 from .memseg import Segment
 from .model import SearchOptions, SearchResult
 
-FILE_SLOTS = 32
-MEMORY_SLOTS = 16
+FILE_SLOTS = 64
+MEMORY_SLOTS = 32
 SENTINEL32 = np.uint32(0xFFFFFFFF)
 
 
