@@ -13,3 +13,14 @@ device kernels that scale across a TPU mesh by hash-range sharding.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the engine compiles a small, fixed set of
+# programs (one per shape bucket); caching them across processes makes server
+# startup and test subprocesses fast.  Set before the first jax import wins.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/acoustid_index_tpu/xla")
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

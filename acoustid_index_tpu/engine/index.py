@@ -226,12 +226,15 @@ class Index:
             return self._snapshot
 
     def search(self, query: Sequence[int], options: SearchOptions, timeout: Optional[float] = None):
+        # The device program is bounded, so the timeout guards host-side
+        # queueing (the reference's cancellation fires at scan yield points;
+        # our scan is one kernel launch).  Checked before dispatch: a request
+        # that waited past its deadline is refused, a dispatched one finishes.
         start = time.monotonic()
         snapshot = self.acquire_reader()
-        results, stats = self.searcher.search(snapshot, query, options)
         if timeout is not None and timeout > 0 and (time.monotonic() - start) > timeout:
-            raise SearchTimeout(f"search exceeded {timeout}s")
-        return results, stats
+            raise SearchTimeout(f"search queued past {timeout}s")
+        return self.searcher.search(snapshot, query, options)
 
     # ---- writer ----
 

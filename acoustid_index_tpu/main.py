@@ -1,0 +1,122 @@
+"""Process entry point: standalone index node, replica node, or coordinator.
+
+CLI flags mirror the reference's table (/root/reference/src/main.zig:40-65,
+README "Configuration"); unknown flags warn and continue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import sys
+import threading
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="acoustid-index-tpu", add_help=True)
+    p.add_argument("--dir", default="data", help="Data directory")
+    p.add_argument("--host", default="127.0.0.1", help="Listen address")
+    p.add_argument("--port", type=int, default=8080, help="Listen port")
+    p.add_argument("--checkpoint-threshold", type=int, default=100_000)
+    p.add_argument("--checkpoint-age-ms", type=int, default=60_000, help="0 disables")
+    p.add_argument("--legacy-port", type=int, default=0, help="0 = off")
+    p.add_argument("--load-concurrency", type=int, default=0, help="0 = unlimited")
+    p.add_argument("--coordinator", action="store_true", help="Run as changelog coordinator")
+    p.add_argument("--coordinator-url", default=None, help="Replica mode: consume this changelog")
+    p.add_argument("--peers", default=None, help="Comma-separated peer base URLs (snapshot donors)")
+    p.add_argument("--bootstrap-timeout-ms", type=int, default=1_800_000, help="0 disables")
+    return p
+
+
+def run_server(args) -> None:
+    from .multi.multi_index import MultiIndex
+    from .server.app import App
+    from .server.http import HttpServer
+
+    mi = MultiIndex.open(
+        args.dir,
+        checkpoint_threshold=args.checkpoint_threshold,
+        checkpoint_age=(args.checkpoint_age_ms / 1000.0) if args.checkpoint_age_ms else None,
+        sync=args.coordinator_url is None,  # upstream owns durability in cluster mode
+        load_concurrency=args.load_concurrency or None,
+    )
+
+    replicator = None
+    if args.coordinator_url:
+        from .cluster.remote_coordinator import RemoteCoordinator
+        from .cluster.replicator import Replicator
+
+        peers = [u.strip() for u in (args.peers or "").split(",") if u.strip()]
+        coordinator = RemoteCoordinator(args.coordinator_url)
+        replicator = Replicator(
+            mi,
+            coordinator,
+            peers=peers,
+            bootstrap_timeout=(args.bootstrap_timeout_ms / 1000.0) if args.bootstrap_timeout_ms else None,
+        )
+        mi.replication = replicator
+        replicator.start()
+
+    app = App(mi)
+    server = HttpServer(args.host, args.port, app.router, app.error_response, app.not_found)
+    logging.info("serving on %s:%d (dir=%s)", args.host, server.port, args.dir)
+    print(f"LISTENING {server.port}", flush=True)
+
+    legacy_server = None
+    if args.legacy_port:
+        from .server.legacy import LegacyServer
+
+        legacy_server = LegacyServer(args.host, args.legacy_port, mi, read_only=replicator is not None)
+        legacy_server.serve_background()
+
+    stop = threading.Event()
+
+    def on_signal(signum, frame):
+        stop.set()
+
+    signal.signal(signal.SIGINT, on_signal)
+    signal.signal(signal.SIGTERM, on_signal)
+    server.serve_background()
+    stop.wait()
+    logging.info("shutting down")
+    server.shutdown()
+    if legacy_server is not None:
+        legacy_server.shutdown()
+    if replicator is not None:
+        replicator.stop()
+    mi.close()
+
+
+def run_coordinator(args) -> None:
+    from .cluster.coordinator import MemoryCoordinator
+    from .cluster.coordinator_server import CoordinatorApp
+    from .server.http import HttpServer
+
+    coordinator = MemoryCoordinator()
+    app = CoordinatorApp(coordinator)
+    server = HttpServer(args.host, args.port, app.router, app.error_response, app.not_found)
+    logging.info("coordinator on %s:%d", args.host, server.port)
+    print(f"LISTENING {server.port}", flush=True)
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *a: stop.set())
+    signal.signal(signal.SIGTERM, lambda *a: stop.set())
+    server.serve_background()
+    stop.wait()
+    server.shutdown()
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    args, unknown = build_parser().parse_known_args(argv)
+    for flag in unknown:
+        logging.warning("ignoring unknown flag: %s", flag)
+    if args.coordinator:
+        run_coordinator(args)
+    else:
+        run_server(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

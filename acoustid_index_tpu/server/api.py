@@ -1,0 +1,155 @@
+"""API models and JSON/msgpack codecs.
+
+Wire compatibility with the reference (/root/reference/src/api.zig): JSON
+bodies use full field names; msgpack bodies use the compact first-letter
+keys (the reference's `field_name_prefix=1` convention).  IndexStats uses
+full names in both (its fields collide on the first letter).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Dict, List, Optional, Sequence
+
+import msgpack
+
+from ..engine import errors
+from ..engine.model import Change, Delete, Insert, SetMetadata
+
+DEFAULT_SEARCH_TIMEOUT_MS = 500
+MAX_SEARCH_TIMEOUT_MS = 10_000
+DEFAULT_SEARCH_LIMIT = 40
+MIN_SEARCH_LIMIT = 1
+MAX_SEARCH_LIMIT = 100
+
+
+def _get(d: dict, full: str, short: str, default=None):
+    if full in d:
+        return d[full]
+    if short in d:
+        return d[short]
+    return default
+
+
+# ---- request decoding ----
+
+
+def decode_search_request(d: dict) -> dict:
+    query = _get(d, "query", "q")
+    if query is None or not isinstance(query, list):
+        raise errors.BadRequest("query is required")
+    return {
+        "query": query,
+        "timeout": _get(d, "timeout", "t", DEFAULT_SEARCH_TIMEOUT_MS),
+        "limit": _get(d, "limit", "l", DEFAULT_SEARCH_LIMIT),
+        "min_score": _get(d, "min_score", "m"),
+        "score_pct": _get(d, "score_pct", "s", 10),
+    }
+
+
+def decode_change(d: dict) -> Change:
+    ins = _get(d, "insert", "i")
+    if ins is not None:
+        return Insert(id=_get(ins, "id", "i", 0), hashes=_get(ins, "hashes", "h") or ())
+    dele = _get(d, "delete", "d")
+    if dele is not None:
+        return Delete(id=_get(dele, "id", "i", 0))
+    sm = _get(d, "set_metadata", "s")
+    if sm is not None:
+        entries = _get(sm, "entries", "e") or []
+        return SetMetadata(entries=[(_get(e, "key", "k"), _get(e, "value", "v")) for e in entries])
+    raise errors.BadRequest(f"unknown change: {d!r}")
+
+
+def decode_update_request(d: dict) -> dict:
+    raw = _get(d, "changes", "c")
+    if raw is None or not isinstance(raw, list):
+        raise errors.BadRequest("changes is required")
+    return {
+        "changes": [decode_change(c) for c in raw],
+        "metadata": _get(d, "metadata", "m"),
+        "expected_version": _get(d, "expected_version", "e"),
+    }
+
+
+def decode_create_index_request(d: dict) -> dict:
+    return {
+        "expect_does_not_exist": bool(_get(d, "expect_does_not_exist", "e", False)),
+        "generation": _get(d, "generation", "g"),
+    }
+
+
+def decode_delete_index_request(d: dict) -> dict:
+    return {"expect_exists": bool(_get(d, "expect_exists", "e", False))}
+
+
+def decode_put_fingerprint_request(d: dict) -> dict:
+    hashes = _get(d, "hashes", "h")
+    if hashes is None or not isinstance(hashes, list):
+        raise errors.BadRequest("hashes is required")
+    return {"hashes": hashes}
+
+
+# ---- response encoding (full names for JSON, short keys for msgpack) ----
+
+
+def encode_search_response(results, short: bool) -> dict:
+    if short:
+        return {"r": [{"i": r.id, "s": r.score} for r in results]}
+    return {"results": [{"id": r.id, "score": r.score} for r in results]}
+
+
+def encode_update_response(version: int, short: bool) -> dict:
+    return {"v": version} if short else {"version": version}
+
+
+def encode_create_index_response(d: dict, short: bool) -> dict:
+    if short:
+        return {"v": d["version"], "r": d["ready"], "g": d["generation"]}
+    return d
+
+
+def encode_delete_index_response(d: dict, short: bool) -> dict:
+    return {"d": d["deleted"]} if short else d
+
+
+def encode_fingerprint_info(d: dict, short: bool) -> dict:
+    return {"v": d["version"]} if short else d
+
+
+def encode_index_info(d: dict, short: bool) -> dict:
+    # IndexStats always uses full names (first-letter collisions).
+    if short:
+        return {"v": d["version"], "m": d["metadata"], "s": d["stats"]}
+    return d
+
+
+def encode_peer_status(d: dict, short: bool) -> dict:
+    if short:
+        return {"g": d["generation"], "v": d["version"], "f": d["file_version"]}
+    return d
+
+
+def encode_error(name: str, short: bool) -> dict:
+    return {"e": name} if short else {"error": name}
+
+
+# ---- body codecs ----
+
+
+def decode_body(body: bytes, content_type: str) -> Any:
+    try:
+        if content_type == "application/json":
+            return json.loads(body)
+        if content_type == "application/vnd.msgpack":
+            return msgpack.unpackb(body, strict_map_key=False)
+    except Exception:
+        raise errors.BadRequest("malformed body")
+    raise errors.UnsupportedMediaType(content_type)
+
+
+def encode_body(value: Any, content_type: str) -> bytes:
+    if content_type == "application/json":
+        return json.dumps(value).encode()
+    return msgpack.packb(value, use_bin_type=True)

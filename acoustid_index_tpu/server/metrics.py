@@ -1,0 +1,163 @@
+"""Prometheus metrics (text exposition format 0.0.4).
+
+Same metric surface as the reference (/root/reference/src/metrics.zig):
+per-index counters (searches/hits/misses/updates), global counters
+(checkpoints, memory/file merges), histograms (search seconds per index;
+postings scanned per query), gauges (docs, version) refreshed at scrape
+time.  Recording never fails the measured operation; series for an index
+are removed when it is deleted.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from typing import Dict, List, Tuple
+
+_lock = threading.Lock()
+
+SEARCH_SECONDS_BUCKETS = (0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0)
+POSTINGS_BUCKETS = (1, 10, 100, 1000, 10_000, 100_000, 1_000_000)
+
+
+class _Hist:
+    __slots__ = ("buckets", "counts", "total", "sum")
+
+    def __init__(self, buckets):
+        self.buckets = buckets
+        self.counts = [0] * len(buckets)
+        self.total = 0
+        self.sum = 0.0
+
+    def observe(self, v: float):
+        self.total += 1
+        self.sum += v
+        for i, b in enumerate(self.buckets):
+            if v <= b:
+                self.counts[i] += 1
+
+
+_counters: Dict[Tuple[str, str], int] = defaultdict(int)  # (metric, index) -> n
+_globals: Dict[str, int] = defaultdict(int)
+_gauges: Dict[Tuple[str, str], float] = {}
+_search_seconds: Dict[str, _Hist] = {}
+_postings = _Hist(POSTINGS_BUCKETS)
+
+
+def _inc(metric: str, index: str):
+    with _lock:
+        _counters[(metric, index)] += 1
+
+
+def inc_searches(index: str):
+    _inc("searches", index)
+
+
+def inc_search_hit(index: str):
+    _inc("search_hits", index)
+
+
+def inc_search_miss(index: str):
+    _inc("search_misses", index)
+
+
+def inc_updates(index: str):
+    _inc("updates", index)
+
+
+def inc_checkpoints():
+    with _lock:
+        _globals["checkpoints"] += 1
+
+
+def inc_memory_merges():
+    with _lock:
+        _globals["memory_merges"] += 1
+
+
+def inc_file_merges():
+    with _lock:
+        _globals["file_merges"] += 1
+
+
+def observe_search_seconds(index: str, seconds: float):
+    with _lock:
+        h = _search_seconds.get(index)
+        if h is None:
+            h = _search_seconds[index] = _Hist(SEARCH_SECONDS_BUCKETS)
+        h.observe(seconds)
+
+
+def observe_postings_scanned(n: int):
+    with _lock:
+        _postings.observe(n)
+
+
+def set_docs(index: str, n: int):
+    with _lock:
+        _gauges[("docs", index)] = n
+
+
+def set_version(index: str, v: int):
+    with _lock:
+        _gauges[("version", index)] = v
+
+
+def remove_index(index: str):
+    with _lock:
+        for d in (_counters, _gauges):
+            for key in [k for k in d if k[1] == index]:
+                del d[key]
+        _search_seconds.pop(index, None)
+
+
+def reset():
+    with _lock:
+        _counters.clear()
+        _globals.clear()
+        _gauges.clear()
+        _search_seconds.clear()
+        global _postings
+        _postings = _Hist(POSTINGS_BUCKETS)
+
+
+PREFIX = "aitpu"
+
+
+def render() -> str:
+    out: List[str] = []
+    with _lock:
+        per_index = sorted({m for m, _ in _counters})
+        for metric in per_index:
+            out.append(f"# TYPE {PREFIX}_{metric}_total counter")
+            for (m, index), v in sorted(_counters.items()):
+                if m == metric:
+                    out.append(f'{PREFIX}_{metric}_total{{index="{index}"}} {v}')
+        for metric, v in sorted(_globals.items()):
+            out.append(f"# TYPE {PREFIX}_{metric}_total counter")
+            out.append(f"{PREFIX}_{metric}_total {v}")
+        gauge_names = sorted({m for m, _ in _gauges})
+        for metric in gauge_names:
+            out.append(f"# TYPE {PREFIX}_{metric} gauge")
+            for (m, index), v in sorted(_gauges.items()):
+                if m == metric:
+                    out.append(f'{PREFIX}_{metric}{{index="{index}"}} {v:g}')
+        if _search_seconds:
+            out.append(f"# TYPE {PREFIX}_search_seconds histogram")
+            for index, h in sorted(_search_seconds.items()):
+                cum = 0
+                for b, c in zip(h.buckets, h.counts):
+                    cum += c
+                    out.append(f'{PREFIX}_search_seconds_bucket{{index="{index}",le="{b:g}"}} {cum}')
+                out.append(f'{PREFIX}_search_seconds_bucket{{index="{index}",le="+Inf"}} {h.total}')
+                out.append(f'{PREFIX}_search_seconds_sum{{index="{index}"}} {h.sum:g}')
+                out.append(f'{PREFIX}_search_seconds_count{{index="{index}"}} {h.total}')
+        out.append(f"# TYPE {PREFIX}_postings_scanned histogram")
+        cum = 0
+        for b, c in zip(_postings.buckets, _postings.counts):
+            cum += c
+            out.append(f'{PREFIX}_postings_scanned_bucket{{le="{b:g}"}} {cum}')
+        out.append(f'{PREFIX}_postings_scanned_bucket{{le="+Inf"}} {_postings.total}')
+        out.append(f"{PREFIX}_postings_scanned_sum {_postings.sum:g}")
+        out.append(f"{PREFIX}_postings_scanned_count {_postings.total}")
+    return "\n".join(out) + "\n"

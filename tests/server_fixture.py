@@ -1,0 +1,86 @@
+"""Subprocess server fixture for e2e tests: spawns the real process, waits
+for readiness, supports soft (SIGTERM) and hard (SIGKILL) restarts against a
+persistent data dir."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import requests
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class Server:
+    def __init__(self, data_dir, extra_args=(), env_extra=None):
+        self.data_dir = str(data_dir)
+        self.extra_args = list(extra_args)
+        self.proc = None
+        self.port = None
+        self.env_extra = env_extra or {}
+
+    def start(self):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["AITPU_JAX_PLATFORMS"] = "cpu"
+        env.update(self.env_extra)
+        self.proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "acoustid_index_tpu.main",
+                "--dir",
+                self.data_dir,
+                "--port",
+                "0",
+                *self.extra_args,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            line = self.proc.stdout.readline()
+            if line.startswith("LISTENING"):
+                self.port = int(line.split()[1])
+                break
+            if self.proc.poll() is not None:
+                raise RuntimeError("server died on startup")
+        else:
+            raise RuntimeError("server did not start in time")
+        self.wait_healthy()
+        return self
+
+    def wait_healthy(self, timeout=30):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if requests.get(self.url("/_health"), timeout=2).status_code == 200:
+                    return
+            except requests.ConnectionError:
+                pass
+            time.sleep(0.05)
+        raise RuntimeError("server not healthy")
+
+    def url(self, path):
+        return f"http://127.0.0.1:{self.port}{path}"
+
+    def stop(self, hard=False):
+        if self.proc is None:
+            return
+        self.proc.send_signal(signal.SIGKILL if hard else signal.SIGTERM)
+        try:
+            self.proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            self.proc.wait()
+        self.proc = None
+
+    def restart(self, hard=False):
+        self.stop(hard=hard)
+        self.start()
