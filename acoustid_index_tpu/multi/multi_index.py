@@ -332,6 +332,115 @@ class MultiIndex:
         with self._lock:
             return list(self._indexes.keys())
 
+    # ---- bootstrap installs (replicated mode) ----
+
+    def _lineage_dir(self, name: str, generation: int) -> str:
+        name_dir = os.path.join(self.dir, name)
+        r = index_redirect.read_redirect(name_dir)
+        if r is None:
+            raise errors.IndexNotFound(name)
+        if r.deleted or r.generation != generation:
+            raise errors.IndexNotFound(f"{name} generation mismatch")
+        return os.path.join(name_dir, r.data_dir())
+
+    def bootstrap_lineage(self, name: str, generation: int, chunks) -> int:
+        """Restore a donor snapshot stream into the lineage and swap it in;
+        returns the new version (the snapshot watermark).  The IndexRef —
+        and thus the data consumer — survives; only the underlying Index is
+        swapped (MultiIndex.zig bootstrapLineage)."""
+        from . import snapshot as snapshot_wire
+
+        vdir = self._lineage_dir(name, generation)
+        restore = os.path.join(vdir, "data.restore")
+        shutil.rmtree(restore, ignore_errors=True)
+        try:
+            snapshot_wire.restore_into(restore, chunks, expect_generation=generation)
+        except Exception:
+            shutil.rmtree(restore, ignore_errors=True)
+            raise
+        return self._install_bootstrap(name, generation, vdir)
+
+    def bootstrap_lineage_from_source(self, name: str, generation: int, stream) -> int:
+        """Build a staging index from the feed's corpus stream, flush it
+        fully, and install it through the same swap path a snapshot restore
+        uses; returns the position the caller resumes the feed from.
+
+        Staging makes a mid-stream death safe: a dead staging build is just
+        a directory the next attempt deletes, while applying into the live
+        index and dying at 1%% would leave a node claiming `position` with
+        1%% of the data (MultiIndex.zig bootstrapLineageFromSource)."""
+        vdir = self._lineage_dir(name, generation)
+
+        # Content decides whether anything installs, never the position:
+        # position 0 with a full corpus is the primary migration scenario.
+        first = stream.next_batch()
+        while first is not None and len(first) == 0:
+            first = stream.next_batch()
+        if first is None:
+            return stream.position  # empty stream: nothing to install
+
+        staging_dir = os.path.join(vdir, "bootstrap.tmp")
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        from ..engine.index import Index as EngineIndex
+
+        staging = EngineIndex.open(
+            staging_dir,
+            checkpoint_threshold=self.checkpoint_threshold,
+            checkpoint_age=None,
+            sync=False,
+            searcher=self.searcher,
+        )
+        try:
+            batch = first
+            while batch is not None:
+                if batch:
+                    staging.update(batch, version=stream.position)
+                batch = stream.next_batch()
+            # Full flush: the swap reopens from disk alone and discards the
+            # staging WAL; anything not in a file segment would vanish.
+            staging.flush()
+        finally:
+            staging.close()
+
+        restore = os.path.join(vdir, "data.restore")
+        shutil.rmtree(restore, ignore_errors=True)
+        os.replace(os.path.join(staging_dir, "data"), restore)
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        self._install_bootstrap(name, generation, vdir)
+        return stream.position
+
+    def _install_bootstrap(self, name: str, generation: int, vdir: str) -> int:
+        """Block new borrows, drain outstanding ones, close the live index,
+        swap data <- data.restore, drop the stale WAL, reopen."""
+        with self._lock:
+            ref = self._indexes.get(name)
+            if ref is None:
+                raise errors.IndexNotFound(name)
+            if ref.being_deleted or ref.generation != generation:
+                raise errors.IndexNotFound(f"{name} generation mismatch")
+            ref.being_deleted = True
+            while ref.references > 1:
+                self._released.wait()
+        try:
+            ref.index.close()
+            shutil.rmtree(os.path.join(vdir, "data"), ignore_errors=True)
+            os.replace(os.path.join(vdir, "data.restore"), os.path.join(vdir, "data"))
+            shutil.rmtree(os.path.join(vdir, "oplog"), ignore_errors=True)
+            ref.index = self._open_lineage(name, generation)
+            version = ref.index.version
+            with self._lock:
+                ref.being_deleted = False
+                self._released.notify_all()
+            return version
+        except Exception:
+            # The old Index is closed and unusable; drop the ref so nothing
+            # touches it and let the meta consumer rebuild the lineage.
+            with self._lock:
+                self._indexes.pop(name, None)
+                self._released.notify_all()
+            metrics.remove_index(name)
+            raise
+
     # ---- info / health / status ----
 
     def check_index_exists(self, name: str) -> bool:

@@ -80,8 +80,10 @@ def _tier_ranges(tier, query, valid_q, cap_k):
     return lo, jnp.minimum(counts, cap_k), jnp.any(counts > cap_k)
 
 
-def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
-    Q, P, K, C = p.query_len, p.postings_budget, p.per_hash_cap, p.candidate_cap
+def _gather_hits(p: SearchParams, file_tier, mem_tier, query, q_len):
+    """Stage 1-2: ranges + ragged->dense gather.  Returns per-posting
+    (docid, global ordinal, invalid flag) plus scan accounting."""
+    Q, P, K = p.query_len, p.postings_budget, p.per_hash_cap
     S_F = file_tier["seg_start"].shape[0]
     S_M = mem_tier["seg_start"].shape[0]
     S = S_F + S_M
@@ -91,7 +93,7 @@ def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_s
     f_lo, f_counts, f_trunc = _tier_ranges(file_tier, query, valid_q, K)
     m_lo, m_counts, m_trunc = _tier_ranges(mem_tier, query, valid_q, K)
 
-    # 2. Ragged -> dense gather plan over the concatenated (segment, hash)
+    # Ragged -> dense gather plan over the concatenated (segment, hash)
     # ranges; flat index j // Q is the global segment ordinal.
     flat_counts = jnp.concatenate([f_counts.reshape(-1), m_counts.reshape(-1)])
     flat_lo = jnp.concatenate([f_lo.reshape(-1), m_lo.reshape(-1)])
@@ -112,6 +114,34 @@ def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_s
     d = jnp.where(p_valid, jnp.where(is_mem, m_vals, f_vals), SENTINEL)
     o = jnp.where(p_valid, j // Q, S).astype(jnp.int32)
     inv = jnp.logical_not(p_valid).astype(jnp.int32)
+    truncated = jnp.logical_or(jnp.logical_or(f_trunc, m_trunc), grand_total > P)
+    return d, o, inv, total, truncated
+
+
+def tier_mentions(tier, cand_ids):
+    """(C, S) membership of each candidate docid in each segment's
+    mentioned-docs array."""
+    return (
+        member_count(
+            tier["docs_ids"],
+            cand_ids[:, None],
+            tier["docs_start"][None, :],
+            tier["docs_len"][None, :],
+        )
+        > 0
+    )
+
+
+def _score_select(p: SearchParams, S, d, o, inv, mention_fn, limit, min_score, pct):
+    """Stage 3-7: sort, run-length score, supersede, cut, compact.
+
+    `mention_fn(cand_ids) -> bool[C, S]` answers which segments mention each
+    candidate doc; the sharded path psums this across docid shards.
+    `S` is the global segment-ordinal count; `d`/`o`/`inv` may be any length
+    (the sharded path passes the all-gathered hit lists).
+    """
+    P = d.shape[0]
+    C = p.candidate_cap
 
     # 3. One sort by (validity, docid, ordinal); runs = (docid, ordinal) groups.
     inv, d, o = jax.lax.sort((inv, d, o), num_keys=3)
@@ -145,15 +175,7 @@ def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_s
     cd, co, csc = cd[:C], co[:C], csc[:C]
 
     # 5. Supersession: mentioned in any strictly newer segment -> dead.
-    def tier_mentions(tier):
-        return (
-            member_count(
-                tier["docs_ids"], cd[:, None], tier["docs_start"][None, :], tier["docs_len"][None, :]
-            )
-            > 0
-        )
-
-    mentioned = jnp.concatenate([tier_mentions(file_tier), tier_mentions(mem_tier)], axis=1)  # (C, S)
+    mentioned = mention_fn(cd)  # (C, S)
     newer = jnp.arange(S, dtype=jnp.int32)[None, :] > co[:, None]
     dead = jnp.any(jnp.logical_and(mentioned, newer), axis=1)
     alive = jnp.logical_and(c_valid, jnp.logical_not(dead))
@@ -179,9 +201,22 @@ def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_s
         "ids": jnp.where(mask, out_ids, 0),
         "scores": jnp.where(mask, out_scores, 0),
         "count": n,
-        "postings_scanned": total,
-        "truncated": jnp.logical_or(jnp.logical_or(f_trunc, m_trunc), grand_total > P),
     }
+
+
+def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
+    S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
+    d, o, inv, total, truncated = _gather_hits(p, file_tier, mem_tier, query, q_len)
+
+    def mention_fn(cand_ids):
+        return jnp.concatenate(
+            [tier_mentions(file_tier, cand_ids), tier_mentions(mem_tier, cand_ids)], axis=1
+        )
+
+    out = _score_select(p, S, d, o, inv, mention_fn, limit, min_score, pct)
+    out["postings_scanned"] = total
+    out["truncated"] = truncated
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=0)

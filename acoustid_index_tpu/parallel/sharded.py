@@ -1,0 +1,267 @@
+"""Hash-range sharded search over a TPU mesh.
+
+The reference is a single-node design (the whole index must fit in RAM,
+/root/reference/README.md:100-105); its only multi-node mechanism is full
+replication.  This module adds the scale-out axis the reference lacks:
+
+  * postings are sharded by HASH RANGE across the mesh — uniform fingerprint
+    hashes give balanced shards, and every query hash has exactly one home
+    shard;
+  * mentioned-docs tables are sharded by DOCID RANGE — supersession lookups
+    for a candidate doc also have one home shard;
+  * a query broadcasts to all shards; each shard gathers its hit postings
+    locally; the (docid, segment-ordinal) hit lists are all-gathered over
+    ICI (a few hundred KB) and scored identically on every shard — bitwise
+    the same pipeline as the single-chip kernel, so scores are EXACT;
+  * supersession mention masks combine with a psum (integer OR) across the
+    docid shards.
+
+Everything runs inside one jitted shard_map over a 1-D "shards" mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.search_kernel import (
+    SearchParams,
+    _gather_hits,
+    _score_select,
+    tier_mentions,
+)
+from ..engine.memseg import Segment
+from ..engine.segments import Snapshot
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (AXIS,))
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def hash_bounds(n_shards: int) -> np.ndarray:
+    """Shard k owns hashes in [bounds[k], bounds[k+1])."""
+    return np.array([(k * (1 << 32)) // n_shards for k in range(n_shards + 1)], dtype=np.uint64)
+
+
+@dataclass
+class ShardedView:
+    """Stacked per-shard packed tiers: every array carries a leading shard
+    dimension and is placed with that dimension sharded over the mesh."""
+
+    file_tier: Dict[str, jax.Array]
+    mem_tier: Dict[str, jax.Array]
+    n_shards: int
+
+
+def _pack_tier_sharded(
+    segments: Sequence[Segment], n_shards: int, slots: int, min_cap: int = 1024
+) -> Dict[str, np.ndarray]:
+    """Partition each segment's postings by hash range and docs by docid
+    range; pack per shard (slot k = ordinal k, same as pack_tier)."""
+    bounds = hash_bounds(n_shards)
+    per_shard_items: List[List[np.ndarray]] = [[] for _ in range(n_shards)]
+    per_shard_ids: List[List[np.ndarray]] = [[] for _ in range(n_shards)]
+    per_shard_docs: List[List[np.ndarray]] = [[] for _ in range(n_shards)]
+    per_shard_alive: List[List[np.ndarray]] = [[] for _ in range(n_shards)]
+
+    if len(segments) > slots:
+        raise ValueError(f"too many segments for tier: {len(segments)} > {slots}")
+
+    for seg in segments:
+        h64 = seg.hashes.astype(np.uint64)
+        cuts = np.searchsorted(h64, bounds)
+        d64 = seg.docs_ids.astype(np.uint64)
+        dcuts = np.searchsorted(d64, bounds)
+        for k in range(n_shards):
+            per_shard_items[k].append(seg.hashes[cuts[k] : cuts[k + 1]])
+            per_shard_ids[k].append(seg.docids[cuts[k] : cuts[k + 1]])
+            per_shard_docs[k].append(seg.docs_ids[dcuts[k] : dcuts[k + 1]])
+            per_shard_alive[k].append(seg.docs_alive[dcuts[k] : dcuts[k + 1]].astype(np.int32))
+
+    cap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_items), default=1), min_cap)
+    dcap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_docs), default=1), min_cap)
+
+    S = slots
+    out = {
+        "hashes": np.full((n_shards, cap), 0xFFFFFFFF, np.uint32),
+        "docids": np.full((n_shards, cap), 0xFFFFFFFF, np.uint32),
+        "seg_start": np.zeros((n_shards, S), np.int32),
+        "seg_len": np.zeros((n_shards, S), np.int32),
+        "docs_ids": np.full((n_shards, dcap), 0xFFFFFFFF, np.uint32),
+        "docs_alive": np.zeros((n_shards, dcap), np.int32),
+        "docs_start": np.zeros((n_shards, S), np.int32),
+        "docs_len": np.zeros((n_shards, S), np.int32),
+    }
+    for k in range(n_shards):
+        pos = 0
+        for s_idx, a in enumerate(per_shard_items[k]):
+            out["seg_start"][k, s_idx] = pos
+            out["seg_len"][k, s_idx] = a.shape[0]
+            out["hashes"][k, pos : pos + a.shape[0]] = a
+            out["docids"][k, pos : pos + a.shape[0]] = per_shard_ids[k][s_idx]
+            pos += a.shape[0]
+        dpos = 0
+        for s_idx, a in enumerate(per_shard_docs[k]):
+            out["docs_start"][k, s_idx] = dpos
+            out["docs_len"][k, s_idx] = a.shape[0]
+            out["docs_ids"][k, dpos : dpos + a.shape[0]] = a
+            out["docs_alive"][k, dpos : dpos + a.shape[0]] = per_shard_alive[k][s_idx]
+            dpos += a.shape[0]
+    return out
+
+
+def build_sharded_view(
+    snapshot: Snapshot,
+    mesh: Mesh,
+    file_slots: int = 16,
+    mem_slots: int = 8,
+    min_cap: int = 1024,
+) -> ShardedView:
+    n = mesh.devices.size
+    file_np = _pack_tier_sharded(snapshot.file, n, file_slots, min_cap)
+    mem_np = _pack_tier_sharded(snapshot.memory, n, mem_slots, min_cap)
+
+    sharding = jax.sharding.NamedSharding(mesh, P(AXIS))
+
+    def put(d):
+        return {k: jax.device_put(v, sharding) for k, v in d.items()}
+
+    return ShardedView(file_tier=put(file_np), mem_tier=put(mem_np), n_shards=n)
+
+
+def _tier_spec(tier) -> Dict[str, P]:
+    return {k: P(AXIS) for k in tier}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _sharded_search_impl(params: SearchParams, mesh: Mesh, file_tier, mem_tier, query, q_len, limit, min_score, pct):
+    S = file_tier["seg_start"].shape[-1] + mem_tier["seg_start"].shape[-1]
+
+    def shard_fn(file_t, mem_t, query, q_len, limit, min_score, pct):
+        # Leading shard dim of size 1 inside the shard -> squeeze.
+        file_t = {k: v[0] for k, v in file_t.items()}
+        mem_t = {k: v[0] for k, v in mem_t.items()}
+        f_search = {k: v for k, v in file_t.items() if k != "docs_alive"}
+        m_search = {k: v for k, v in mem_t.items() if k != "docs_alive"}
+
+        # Local hit-list over this shard's hash range.
+        d, o, inv, total, truncated = _gather_hits(params, f_search, m_search, query, q_len)
+
+        # Exact cross-shard combine: concatenate every shard's hit list
+        # (tiny: P * 12 bytes per shard) and score identically everywhere.
+        d_all = jax.lax.all_gather(d, AXIS, tiled=True)
+        o_all = jax.lax.all_gather(o, AXIS, tiled=True)
+        inv_all = jax.lax.all_gather(inv, AXIS, tiled=True)
+
+        def mention_fn(cand_ids):
+            local = jnp.concatenate(
+                [tier_mentions(f_search, cand_ids), tier_mentions(m_search, cand_ids)],
+                axis=1,
+            ).astype(jnp.int32)
+            # Each candidate doc lives in exactly one docid shard; integer
+            # psum == logical OR across shards.
+            return jax.lax.psum(local, AXIS) > 0
+
+        out = _score_select(params, S, d_all, o_all, inv_all, mention_fn, limit, min_score, pct)
+        out["postings_scanned"] = jax.lax.psum(total, AXIS)
+        out["truncated"] = jax.lax.psum(truncated.astype(jnp.int32), AXIS) > 0
+        return out
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(_tier_spec(file_tier), _tier_spec(mem_tier), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(file_tier, mem_tier, query, q_len, limit, min_score, pct)
+
+
+def sharded_search(
+    params: SearchParams,
+    mesh: Mesh,
+    view: ShardedView,
+    query: np.ndarray,
+    q_len: int,
+    limit: int,
+    min_score: int,
+    pct: int,
+):
+    return _sharded_search_impl(
+        params,
+        mesh,
+        view.file_tier,
+        view.mem_tier,
+        jnp.asarray(query, jnp.uint32),
+        jnp.int32(q_len),
+        jnp.int32(limit),
+        jnp.int32(min_score),
+        jnp.int32(pct),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _sharded_ingest_impl(mesh: Mesh, hashes, ids, counts):
+    """Per-shard device sort of an ingest batch: each shard receives the
+    (hash, docid) pairs in its hash range (host-partitioned, padded) and
+    sorts them into its term-table run — the device-side radix-sort stage of
+    a distributed MemorySegment.build."""
+    from ..ops.build import sort_postings
+
+    def shard_fn(h, i, n):
+        sh, si = sort_postings(h[0], i[0], n[0][0])
+        return sh[None, :], si[None, :]
+
+    sh, si = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )(hashes, ids, counts)
+    return sh, si
+
+
+def sharded_ingest_step(mesh: Mesh, batch_hashes: np.ndarray, batch_ids: np.ndarray):
+    """Host partition by hash range + device sort per shard.  Returns stacked
+    sorted per-shard runs (the building block for distributed segment
+    construction)."""
+    n = mesh.devices.size
+    bounds = hash_bounds(n)
+    order = np.argsort(batch_hashes.astype(np.uint64), kind="stable")
+    h_sorted = batch_hashes[order]
+    i_sorted = batch_ids[order]
+    cuts = np.searchsorted(h_sorted.astype(np.uint64), bounds)
+    cap = _bucket(max(int(np.max(np.diff(cuts))), 1), 1024)
+    h = np.full((n, cap), 0xFFFFFFFF, np.uint32)
+    i = np.full((n, cap), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros((n, 1), np.int32)
+    for k in range(n):
+        seg_h = h_sorted[cuts[k] : cuts[k + 1]]
+        h[k, : seg_h.shape[0]] = seg_h
+        i[k, : seg_h.shape[0]] = i_sorted[cuts[k] : cuts[k + 1]]
+        counts[k, 0] = seg_h.shape[0]
+    sharding = jax.sharding.NamedSharding(mesh, P(AXIS))
+    return _sharded_ingest_impl(
+        mesh,
+        jax.device_put(h, sharding),
+        jax.device_put(i, sharding),
+        jax.device_put(counts, sharding),
+    )

@@ -1,0 +1,166 @@
+"""Headline benchmark: batched search QPS over a 10M-fingerprint index on
+one chip.
+
+Builds a 10M-doc term table (24 hashes/doc, 240M postings, ~1.9GB) directly
+on device with a device sort — the bulk-ingest path — then measures warm
+batched-search throughput and latency with realistic queries (a target
+doc's hashes with 20% noise, matching the fingerprint-lookup workload the
+reference serves).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+vs_baseline: the reference publishes no benchmark numbers (BASELINE.md) —
+its implicit baseline is a single-node CPU binary.  We pin an estimate of
+2,000 QPS for fpindex on a modern server at 10M fingerprints (SIMD block
+decode, ~120-hash queries, per-hash scan bounds) and report the ratio
+against it; BASELINE.json's target is >=10x at 100M on a v5e-8.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_QPS_ESTIMATE = 2000.0
+
+N_DOCS = 10_000_000
+HASHES_PER_DOC = 24
+BATCH = 32
+QUERY_LEN = 64
+ROUNDS = 20
+
+
+def doc_hashes(ids: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic per-doc hash sets (uniform over u32)."""
+    j = np.arange(n, dtype=np.uint64)
+    h = (ids.astype(np.uint64)[:, None] * np.uint64(2654435761) + j[None, :] * np.uint64(0x9E3779B1) + np.uint64(12345)) * np.uint64(0x85EBCA6B)
+    return (h >> np.uint64(13)).astype(np.uint32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from acoustid_index_tpu.ops.build import sort_postings
+    from acoustid_index_tpu.ops.search_kernel import SearchParams, search_segments_batch
+    from acoustid_index_tpu.engine.segments import FILE_SLOTS, MEMORY_SLOTS
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(7)
+
+    # ---- build the term table on device ----
+    t0 = time.time()
+    ids_host = np.arange(1, N_DOCS + 1, dtype=np.uint32)
+
+    @jax.jit
+    def make_table():
+        ids = jnp.arange(1, N_DOCS + 1, dtype=jnp.uint32)
+        j = jnp.arange(HASHES_PER_DOC, dtype=jnp.uint64)
+        h = (
+            ids.astype(jnp.uint64)[:, None] * jnp.uint64(2654435761)
+            + j[None, :] * jnp.uint64(0x9E3779B1)
+            + jnp.uint64(12345)
+        ) * jnp.uint64(0x85EBCA6B)
+        hashes = (h >> jnp.uint64(13)).astype(jnp.uint32).reshape(-1)
+        docids = jnp.broadcast_to(ids[:, None], (N_DOCS, HASHES_PER_DOC)).reshape(-1)
+        return sort_postings(hashes, docids, hashes.shape[0])
+
+    h_sorted, d_sorted = make_table()
+    h_sorted.block_until_ready()
+    build_s = time.time() - t0
+
+    n_postings = N_DOCS * HASHES_PER_DOC
+    cap = 1
+    while cap < n_postings:
+        cap *= 2
+
+    def pad(a, size, fill):
+        out = jnp.full((size,), fill, a.dtype)
+        return out.at[: a.shape[0]].set(a)
+
+    file_tier = {
+        "hashes": pad(h_sorted, cap, jnp.uint32(0xFFFFFFFF)),
+        "docids": pad(d_sorted, cap, jnp.uint32(0xFFFFFFFF)),
+        "seg_start": jnp.zeros(FILE_SLOTS, jnp.int32),
+        "seg_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(n_postings),
+        "docs_ids": pad(jnp.asarray(ids_host), 1 << 24, jnp.uint32(0xFFFFFFFF)),
+        "docs_start": jnp.zeros(FILE_SLOTS, jnp.int32),
+        "docs_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(N_DOCS),
+    }
+    mem_tier = {
+        "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "seg_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
+        "seg_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
+        "docs_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "docs_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
+        "docs_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
+    }
+
+    params = SearchParams(query_len=QUERY_LEN, postings_budget=8192)
+
+    def make_queries():
+        targets = rng.integers(1, N_DOCS + 1, BATCH, dtype=np.uint32)
+        qs = np.zeros((BATCH, QUERY_LEN), np.uint32)
+        lens = np.zeros(BATCH, np.int32)
+        for b, t in enumerate(targets):
+            hs = doc_hashes(np.array([t], np.uint32), HASHES_PER_DOC)[0]
+            noise = rng.integers(0, 2**32, 6, dtype=np.uint32)
+            q = np.unique(np.concatenate([hs[: HASHES_PER_DOC - 5], noise]))
+            qs[b, : q.shape[0]] = q
+            lens[b] = q.shape[0]
+        return targets, qs, lens
+
+    limits = np.full(BATCH, 10, np.int32)
+    min_scores = np.full(BATCH, 2, np.int32)
+    pcts = np.full(BATCH, 10, np.int32)
+
+    # Warmup + correctness check: the target doc must win with score = kept hashes.
+    targets, qs, lens = make_queries()
+    t0 = time.time()
+    out = search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts)
+    out = jax.device_get(out)
+    compile_s = time.time() - t0
+    top_ids = out["ids"][:, 0]
+    hit_rate = float(np.mean(top_ids == targets))
+    assert hit_rate > 0.95, f"self-retrieval hit rate {hit_rate}"
+
+    # ---- measure ----
+    lat = []
+    n_queries = 0
+    t_start = time.time()
+    for _ in range(ROUNDS):
+        targets, qs, lens = make_queries()
+        t0 = time.time()
+        out = search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts)
+        jax.block_until_ready(out)
+        lat.append(time.time() - t0)
+        n_queries += BATCH
+    wall = time.time() - t_start
+    qps = n_queries / sum(lat)
+    lat_ms = np.array(lat) * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "search_qps_10M_fp_1chip",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / REFERENCE_QPS_ESTIMATE, 3),
+                "batch": BATCH,
+                "p50_batch_ms": round(float(np.percentile(lat_ms, 50)), 2),
+                "p99_batch_ms": round(float(np.percentile(lat_ms, 99)), 2),
+                "per_query_p50_ms": round(float(np.percentile(lat_ms, 50)) / BATCH, 3),
+                "build_s": round(build_s, 1),
+                "compile_s": round(compile_s, 1),
+                "self_retrieval_hit_rate": hit_rate,
+                "n_docs": N_DOCS,
+                "n_postings": n_postings,
+                "device": str(dev),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
