@@ -35,6 +35,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from . import filefmt, manifest
+from ..server import metrics
 from .errors import SearchTimeout, VersionRequired
 from .memseg import Segment, build_segment, merge_segments
 from .merge_policy import TieredMergePolicy
@@ -329,6 +330,7 @@ class Index:
             mem_view=pack_tier(new_memory, MEMORY_SLOTS),
         )
         self._swap(snap)
+        metrics.inc_memory_merges()
         log.info("merged %d memory segments -> %s (%d items)", hi - lo, merged.info, merged.num_items)
         return True
 
@@ -385,6 +387,7 @@ class Index:
                 self.oplog.truncate(self.file_commit_id)
             except OSError:
                 log.warning("oplog truncate failed", exc_info=True)
+        metrics.inc_checkpoints()
         log.info("checkpointed to file segment %s (%d items)", fseg.info, fseg.num_items)
         return True
 
@@ -429,6 +432,7 @@ class Index:
         # the files, and the manifest no longer references them.
         for s in retired:
             filefmt.delete_segment_file(self.data_dir, s.info)
+        metrics.inc_file_merges()
         log.info("merged %d file segments -> %s (%d items)", hi - lo, fseg.info, fseg.num_items)
         return True
 
