@@ -156,7 +156,7 @@ class Index:
             # tail into one segment.  Supersession inside the fold needs the
             # whole collection as the oracle.
             whole = Snapshot(file=tuple(file_segments), memory=tuple(memory_segments))
-            memory_segments = [merge_segments(memory_segments, whole.has_newer_commit)]
+            memory_segments = [merge_segments(memory_segments, whole)]
 
         commit_id = max(file_commit_id, oplog.last_commit_id)
         version = max(file_version, oplog.last_version)
@@ -316,7 +316,7 @@ class Index:
             if cand is None:
                 return False
             lo, hi = cand.start, cand.end
-        merged = merge_segments(mem[lo:hi], cur.has_newer_commit)
+        merged = merge_segments(mem[lo:hi], cur)
         new_memory = mem[:lo] + (merged,) + mem[hi:]
         snap = Snapshot(
             file=cur.file,
@@ -354,7 +354,7 @@ class Index:
 
         # Merge outside the write lock; updates keep flowing (they append to
         # the memory suffix; the flushed prefix is stable).
-        fseg = merge_segments(cur.memory, cur.has_newer_commit)
+        fseg = merge_segments(cur.memory, cur)
         filefmt.write_segment(self.data_dir, fseg)
 
         with self._write_lock:
@@ -407,7 +407,7 @@ class Index:
             return False
 
         retired = cur.file[lo:hi]
-        fseg = merge_segments(retired, cur.has_newer_commit)
+        fseg = merge_segments(retired, cur)
         filefmt.write_segment(self.data_dir, fseg)
 
         with self._write_lock:

@@ -134,13 +134,27 @@ def build_segment(changes: Sequence[Change], info: SegmentInfo) -> Segment:
     )
 
 
-def merge_segments(sources: Sequence[Segment], has_newer_commit) -> Segment:
+def _not_newer_mask(s: Segment, oracle) -> np.ndarray:
+    """Mask of s.docs_ids entries with NO newer commit in the collection."""
+    if hasattr(oracle, "has_newer_commit_batch"):
+        return ~oracle.has_newer_commit_batch(s.docs_ids, s.info.commit_id)
+    return np.fromiter(
+        (not oracle(int(d), s.info.commit_id) for d in s.docs_ids),
+        dtype=bool,
+        count=s.docs_ids.shape[0],
+    )
+
+
+def merge_segments(sources: Sequence[Segment], collection) -> Segment:
     """Merge adjacent segments into one (segment_merger.zig semantics).
 
-    `has_newer_commit(doc_id, commit_id) -> bool` must answer against the
-    WHOLE collection the merge happens inside, not just `sources` — a doc
-    rewritten in a segment outside the merged range is dropped here too.
+    `collection` answers supersession against the WHOLE collection the merge
+    happens inside, not just `sources` — a doc rewritten in a segment
+    outside the merged range is dropped here too.  It is either a Snapshot
+    (vectorized via has_newer_commit_batch) or a scalar callable
+    `(doc_id, commit_id) -> bool`.
     """
+    has_newer_commit = collection  # scalar-callable fallback name
     assert sources, "no sources"
     info = sources[0].info
     for s in sources[1:]:
@@ -150,24 +164,21 @@ def merge_segments(sources: Sequence[Segment], has_newer_commit) -> Segment:
     for s in sources:  # oldest -> newest, newest key wins
         metadata.update(s.metadata)
 
-    kept_docs: Dict[int, bool] = {}
     hash_chunks = []
     id_chunks = []
+    doc_chunks = []
+    alive_chunks = []
     for s in sources:
-        mask = np.fromiter(
-            (
-                not has_newer_commit(int(doc), s.info.commit_id)
-                for doc in s.docs_ids
-            ),
-            dtype=bool,
-            count=s.docs_ids.shape[0],
-        )
-        for doc, alive in zip(s.docs_ids[mask], s.docs_alive[mask]):
-            kept_docs[int(doc)] = bool(alive)
+        mask = _not_newer_mask(s, has_newer_commit)
+        doc_chunks.append(s.docs_ids[mask])
+        alive_chunks.append(s.docs_alive[mask])
         if s.num_items:
-            keep_ids = set(int(d) for d in s.docs_ids[mask])
-            item_mask = np.fromiter(
-                (int(d) in keep_ids for d in s.docids), dtype=bool, count=s.num_items
+            # A posting survives iff its doc's map entry survived.
+            kept = s.docs_ids[mask]
+            idx = np.searchsorted(kept, s.docids)
+            idx_c = np.clip(idx, 0, max(kept.shape[0] - 1, 0))
+            item_mask = (
+                (kept[idx_c] == s.docids) if kept.shape[0] else np.zeros(s.num_items, bool)
             )
             hash_chunks.append(s.hashes[item_mask])
             id_chunks.append(s.docids[item_mask])
@@ -180,12 +191,18 @@ def merge_segments(sources: Sequence[Segment], has_newer_commit) -> Segment:
         hashes = np.empty(0, dtype=np.uint32)
         docids = np.empty(0, dtype=np.uint32)
 
-    if kept_docs:
-        docs_ids = np.fromiter(kept_docs.keys(), dtype=np.uint32, count=len(kept_docs))
-        alive = np.fromiter(kept_docs.values(), dtype=bool, count=len(kept_docs))
-        order = np.argsort(docs_ids, kind="stable")
-        docs_ids = docs_ids[order]
-        docs_alive = alive[order]
+    all_docs = np.concatenate(doc_chunks) if doc_chunks else np.empty(0, np.uint32)
+    all_alive = np.concatenate(alive_chunks) if alive_chunks else np.empty(0, bool)
+    if all_docs.shape[0]:
+        # Newest wins per doc: sources are oldest -> newest, so a stable sort
+        # keeps source order within equal ids and the LAST occurrence wins.
+        order = np.argsort(all_docs, kind="stable")
+        sorted_docs = all_docs[order]
+        sorted_alive = all_alive[order]
+        last = np.ones(sorted_docs.shape[0], bool)
+        last[:-1] = sorted_docs[1:] != sorted_docs[:-1]
+        docs_ids = sorted_docs[last]
+        docs_alive = sorted_alive[last]
         min_doc = int(docs_ids[0])
         max_doc = int(docs_ids[-1])
     else:

@@ -76,10 +76,16 @@ class Oplog:
         return self
 
     def _replay(self, handler: Callable[[Transaction], None]) -> None:
+        from ..utils import native
+
         for start in self.files:
             path = os.path.join(self.dir, _file_name(start))
             with open(path, "rb") as f:
                 data = f.read()
+            # The native scanner validates framing + CRCs in one pass and
+            # returns the valid prefix length (torn-tail recovery); -1 means
+            # no native library, so the Python loop checks CRCs itself.
+            valid = native.scan_frames(data, MAX_RECORD_SIZE)
             pos = 0
             while pos < len(data):
                 if pos + RECORD_HEADER.size > len(data):
@@ -87,9 +93,14 @@ class Oplog:
                 length, crc = RECORD_HEADER.unpack_from(data, pos)
                 if length == 0 or length > MAX_RECORD_SIZE:
                     break  # corrupt tail
-                payload = data[pos + RECORD_HEADER.size : pos + RECORD_HEADER.size + length]
-                if len(payload) < length or zlib.crc32(payload) != crc:
-                    break  # torn or corrupt record
+                if valid >= 0:
+                    if pos + RECORD_HEADER.size + length > valid:
+                        break
+                    payload = data[pos + RECORD_HEADER.size : pos + RECORD_HEADER.size + length]
+                else:
+                    payload = data[pos + RECORD_HEADER.size : pos + RECORD_HEADER.size + length]
+                    if len(payload) < length or zlib.crc32(payload) != crc:
+                        break  # torn or corrupt record
                 txn = Transaction.from_wire(msgpack.unpackb(payload, strict_map_key=False))
                 handler(txn)
                 if txn.id > self.last_commit_id:

@@ -9,6 +9,7 @@ a bucketed static length so XLA compiles a handful of programs.
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -100,6 +101,160 @@ class Searcher:
         return results, stats
 
 
+class _BatchGroup:
+    __slots__ = ("key", "requests", "done", "closed", "results", "error")
+
+    def __init__(self, key):
+        self.key = key
+        self.requests = []  # (padded_query, q_len, options)
+        self.done = threading.Event()
+        self.closed = False
+        self.results = None
+        self.error = None
+
+
+BATCH_SIZES = (1, 2, 4, 8, 16, 32)
+MAX_BATCH = BATCH_SIZES[-1]
+
+
+class BatchingSearcher(Searcher):
+    """Coalesces concurrent searches against the same snapshot view into one
+    batched device program (leader/follower, no dedicated thread).
+
+    The reference's throughput comes from many CPU threads scanning
+    independently; on TPU the equivalent is one vectorized program over a
+    query batch — a single launch amortizes dispatch and keeps the VPU fed.
+    Requests are grouped by (table identity, query bucket); the first
+    request in a group becomes the leader, waits up to `max_wait` for
+    followers (only when there is real concurrency), then executes.
+    """
+
+    def __init__(self, max_wait: float = 0.002):
+        super().__init__()
+        self.max_wait = max_wait
+        self._glock = threading.Lock()
+        self._groups: Dict[tuple, _BatchGroup] = {}
+        self._active = 0
+
+    def _batch_fn(self, params: SearchParams):
+        from ..ops.search_kernel import search_segments_batch
+        import functools
+
+        return functools.partial(search_segments_batch, params)
+
+    def search(self, snapshot: Snapshot, query: Sequence[int], options: SearchOptions):
+        q, q_len = self.prepare_query(query)
+        if q_len == 0 or snapshot.file_view is None or snapshot.mem_view is None:
+            return [], SearchStats(0, False)
+        bucket = next(b for b in QUERY_BUCKETS if b >= q_len)
+        padded = np.zeros(bucket, dtype=np.uint32)
+        padded[:q_len] = q
+        key = (id(snapshot.file_view), id(snapshot.mem_view), bucket)
+
+        with self._glock:
+            self._active += 1
+            group = self._groups.get(key)
+            if group is not None and not group.closed and len(group.requests) < MAX_BATCH:
+                idx = len(group.requests)
+                group.requests.append((padded, q_len, options))
+                leader = False
+            else:
+                group = _BatchGroup(key)
+                group.requests.append((padded, q_len, options))
+                self._groups[key] = group
+                idx = 0
+                leader = True
+            concurrency = self._active
+
+        try:
+            if leader:
+                # Solo traffic dispatches immediately; real concurrency waits
+                # a moment for followers to coalesce.
+                if concurrency > 1:
+                    deadline = time.monotonic() + self.max_wait
+                    while time.monotonic() < deadline:
+                        with self._glock:
+                            if len(group.requests) >= MAX_BATCH:
+                                break
+                        time.sleep(0.0002)
+                with self._glock:
+                    group.closed = True
+                    if self._groups.get(key) is group:
+                        del self._groups[key]
+                try:
+                    group.results = self._run_batch(snapshot, bucket, group.requests)
+                except Exception as exc:  # noqa: BLE001 — propagated per-request
+                    group.error = exc
+                group.done.set()
+            else:
+                group.done.wait()
+            if group.error is not None:
+                raise group.error
+            return group.results[idx]
+        finally:
+            with self._glock:
+                self._active -= 1
+
+    def _run_batch(self, snapshot, bucket, requests):
+        import jax
+
+        params = _params_for(bucket)
+        n = len(requests)
+        if n == 1:
+            padded, q_len, options = requests[0]
+            fn = self._fn(params)
+            out = jax.device_get(
+                fn(
+                    tier_view_for_search(snapshot.file_view),
+                    tier_view_for_search(snapshot.mem_view),
+                    padded,
+                    np.int32(q_len),
+                    np.int32(options.max_results),
+                    np.int32(options.min_score),
+                    np.int32(options.min_score_pct),
+                )
+            )
+            return [self._materialize(out)]
+
+        b = next(x for x in BATCH_SIZES if x >= n)
+        qs = np.zeros((b, bucket), np.uint32)
+        lens = np.zeros(b, np.int32)
+        limits = np.ones(b, np.int32)
+        min_scores = np.zeros(b, np.int32)
+        pcts = np.zeros(b, np.int32)
+        for i, (padded, q_len, options) in enumerate(requests):
+            qs[i] = padded
+            lens[i] = q_len
+            limits[i] = options.max_results
+            min_scores[i] = options.min_score
+            pcts[i] = options.min_score_pct
+        out = jax.device_get(
+            self._batch_fn(params)(
+                tier_view_for_search(snapshot.file_view),
+                tier_view_for_search(snapshot.mem_view),
+                qs,
+                lens,
+                limits,
+                min_scores,
+                pcts,
+            )
+        )
+        return [
+            self._materialize({k: v[i] for k, v in out.items()}) for i in range(n)
+        ]
+
+    @staticmethod
+    def _materialize(out):
+        n = int(out["count"])
+        results = [
+            SearchResult(id=int(out["ids"][i]), score=int(out["scores"][i])) for i in range(n)
+        ]
+        stats = SearchStats(
+            postings_scanned=int(out["postings_scanned"]), truncated=bool(out["truncated"])
+        )
+        return results, stats
+
+
 _default_searcher: Optional[Searcher] = None
 _default_lock = threading.Lock()
 
@@ -108,5 +263,5 @@ def default_searcher() -> Searcher:
     global _default_searcher
     with _default_lock:
         if _default_searcher is None:
-            _default_searcher = Searcher()
+            _default_searcher = BatchingSearcher()
         return _default_searcher

@@ -159,6 +159,18 @@ class Snapshot:
                     return (s.info.effective_version(), not alive)
         return None
 
+    def has_newer_commit_batch(self, doc_ids: np.ndarray, commit_id: int) -> np.ndarray:
+        """Vectorized hasNewerCommit over many doc ids (merge hot path)."""
+        doc_ids = np.asarray(doc_ids, dtype=np.uint32)
+        out = np.zeros(doc_ids.shape[0], dtype=bool)
+        for s in self.all_segments():
+            if s.info.commit_id <= commit_id or s.docs_ids.shape[0] == 0:
+                continue
+            idx = np.searchsorted(s.docs_ids, doc_ids)
+            idx_c = np.clip(idx, 0, s.docs_ids.shape[0] - 1)
+            out |= s.docs_ids[idx_c] == doc_ids
+        return out
+
     def has_newer_commit(self, doc_id: int, commit_id: int) -> bool:
         """Any segment strictly newer than `commit_id` mentions the doc
         (Segments.hasNewerCommit, Index.zig:133-149)."""

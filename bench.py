@@ -31,10 +31,16 @@ ROUNDS = 20
 
 
 def doc_hashes(ids: np.ndarray, n: int) -> np.ndarray:
-    """Deterministic per-doc hash sets (uniform over u32)."""
-    j = np.arange(n, dtype=np.uint64)
-    h = (ids.astype(np.uint64)[:, None] * np.uint64(2654435761) + j[None, :] * np.uint64(0x9E3779B1) + np.uint64(12345)) * np.uint64(0x85EBCA6B)
-    return (h >> np.uint64(13)).astype(np.uint32)
+    """Deterministic per-doc hash sets, pure u32 arithmetic (wrapping) so the
+    host and device formulas agree bit-for-bit without x64."""
+    j = np.arange(n, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint32)[:, None] * np.uint32(2654435761)
+        h = h + j[None, :] * np.uint32(0x9E3779B1) + np.uint32(12345)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(16))
+    return h.astype(np.uint32)
 
 
 def main():
@@ -55,13 +61,13 @@ def main():
     @jax.jit
     def make_table():
         ids = jnp.arange(1, N_DOCS + 1, dtype=jnp.uint32)
-        j = jnp.arange(HASHES_PER_DOC, dtype=jnp.uint64)
-        h = (
-            ids.astype(jnp.uint64)[:, None] * jnp.uint64(2654435761)
-            + j[None, :] * jnp.uint64(0x9E3779B1)
-            + jnp.uint64(12345)
-        ) * jnp.uint64(0x85EBCA6B)
-        hashes = (h >> jnp.uint64(13)).astype(jnp.uint32).reshape(-1)
+        j = jnp.arange(HASHES_PER_DOC, dtype=jnp.uint32)
+        h = ids[:, None] * jnp.uint32(2654435761)
+        h = h + j[None, :] * jnp.uint32(0x9E3779B1) + jnp.uint32(12345)
+        h = h ^ (h >> jnp.uint32(13))
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> jnp.uint32(16))
+        hashes = h.reshape(-1)
         docids = jnp.broadcast_to(ids[:, None], (N_DOCS, HASHES_PER_DOC)).reshape(-1)
         return sort_postings(hashes, docids, hashes.shape[0])
 
