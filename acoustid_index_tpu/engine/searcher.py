@@ -198,7 +198,16 @@ class BatchingSearcher(Searcher):
     def _run_batch(self, snapshot, bucket, requests):
         import jax
 
+        from ..utils.profiling import trace
+
         params = _params_for(bucket)
+        n = len(requests)
+        with trace(f"search_batch[{n}]"):
+            return self._run_batch_traced(snapshot, params, requests)
+
+    def _run_batch_traced(self, snapshot, params, requests):
+        import jax
+
         n = len(requests)
         if n == 1:
             padded, q_len, options = requests[0]
@@ -217,7 +226,7 @@ class BatchingSearcher(Searcher):
             return [self._materialize(out)]
 
         b = next(x for x in BATCH_SIZES if x >= n)
-        qs = np.zeros((b, bucket), np.uint32)
+        qs = np.zeros((b, params.query_len), np.uint32)
         lens = np.zeros(b, np.int32)
         limits = np.ones(b, np.int32)
         min_scores = np.zeros(b, np.int32)

@@ -32,6 +32,7 @@ from .model import SearchOptions, SearchResult
 
 FILE_SLOTS = 64
 MEMORY_SLOTS = 32
+SLOT_BUCKETS = (8, 16, 32, 64)
 SENTINEL32 = np.uint32(0xFFFFFFFF)
 
 
@@ -40,6 +41,34 @@ def _bucket(n: int, minimum: int) -> int:
     while size < n:
         size *= 2
     return size
+
+
+def slot_bucket(n_segments: int, cap: int) -> int:
+    """Slot count for a tier: the kernel's range/supersession work scales
+    with the slot count, so small indexes get small compiled programs."""
+    for b in SLOT_BUCKETS:
+        if b >= n_segments and b <= cap:
+            return b
+    return cap
+
+
+def build_mention_table(segments: "Sequence[Segment]"):
+    """Merged (docid -> newest tier-local ordinal) table: the kernel resolves
+    supersession with ONE binary search per tier instead of one per segment.
+    Exact because ordinals ascend with commit ids: a doc is superseded for a
+    hit at ordinal o iff its newest mention ordinal exceeds o."""
+    if not segments:
+        return np.empty(0, np.uint32), np.empty(0, np.int32)
+    ids = np.concatenate([s.docs_ids for s in segments])
+    ords = np.concatenate(
+        [np.full(s.num_docs, k, np.int32) for k, s in enumerate(segments)]
+    )
+    order = np.argsort(ids, kind="stable")  # stable: ords ascend within ties
+    ids = ids[order]
+    ords = ords[order]
+    last = np.ones(ids.shape[0], bool)
+    last[:-1] = ids[1:] != ids[:-1]
+    return np.ascontiguousarray(ids[last]), np.ascontiguousarray(ords[last])
 
 
 def _pack_runs(arrays: Sequence[np.ndarray], cap: int, fill) -> np.ndarray:
@@ -55,12 +84,15 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
     """Pack segments (oldest -> newest) into one padded tier pytree.
 
     Slot k of the tier is ordinal k; postings and docs arrays are packed
-    contiguously in ordinal order (merge kernels rely on contiguity).
+    contiguously in ordinal order (merge kernels rely on contiguity).  The
+    slot dimension is bucketed: `slots` is the cap, the packed arrays use
+    the smallest bucket that fits.
     """
     import jax.numpy as jnp
 
     if len(segments) > slots:
         raise ValueError(f"too many segments for tier: {len(segments)} > {slots}")
+    slots = slot_bucket(len(segments), slots)
 
     seg_len = np.zeros(slots, dtype=np.int32)
     seg_start = np.zeros(slots, dtype=np.int32)
@@ -85,6 +117,13 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
         [s.docs_alive.astype(np.int32) for s in segments], dcap, np.int32(0)
     )
 
+    mention_ids, mention_ord = build_mention_table(segments)
+    mcap = _bucket(max(mention_ids.shape[0], 1), min_cap)
+    m_ids = np.full(mcap, SENTINEL32, np.uint32)
+    m_ids[: mention_ids.shape[0]] = mention_ids
+    m_ord = np.full(mcap, -1, np.int32)
+    m_ord[: mention_ord.shape[0]] = mention_ord
+
     return {
         "hashes": jnp.asarray(hashes),
         "docids": jnp.asarray(docids),
@@ -94,12 +133,27 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
         "docs_alive": jnp.asarray(docs_alive),
         "docs_start": jnp.asarray(docs_start),
         "docs_len": jnp.asarray(docs_len),
+        "mention_ids": jnp.asarray(m_ids),
+        "mention_ord": jnp.asarray(m_ord),
+        "mention_len": jnp.asarray(np.int32(mention_ids.shape[0])),
     }
 
 
+SEARCH_TIER_FIELDS = (
+    "hashes",
+    "docids",
+    "seg_start",
+    "seg_len",
+    "mention_ids",
+    "mention_ord",
+    "mention_len",
+)
+
+
 def tier_view_for_search(tier: Dict) -> Dict:
-    """The search kernel's input pytree (docs_alive is merge-only)."""
-    return {k: v for k, v in tier.items() if k != "docs_alive"}
+    """The search kernel's input pytree: postings + the merged mention table
+    (the per-segment docs arrays are merge-only)."""
+    return {k: tier[k] for k in SEARCH_TIER_FIELDS}
 
 
 @dataclass(frozen=True)

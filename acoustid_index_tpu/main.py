@@ -26,6 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator-url", default=None, help="Replica mode: consume this changelog")
     p.add_argument("--peers", default=None, help="Comma-separated peer base URLs (snapshot donors)")
     p.add_argument("--bootstrap-timeout-ms", type=int, default=1_800_000, help="0 disables")
+    p.add_argument("--profile-port", type=int, default=0, help="XLA profiler gRPC port (0 = off)")
     return p
 
 
@@ -33,6 +34,11 @@ def run_server(args) -> None:
     from .multi.multi_index import MultiIndex
     from .server.app import App
     from .server.http import HttpServer
+
+    if args.profile_port:
+        from .utils.profiling import start_profiler_server
+
+        start_profiler_server(args.profile_port)
 
     mi = MultiIndex.open(
         args.dir,

@@ -49,9 +49,10 @@ SENTINEL = jnp.uint32(0xFFFFFFFF)
 #   hashes:   u32[CAP]   postings sort key, packed contiguously per segment
 #   docids:   u32[CAP]   postings payload
 #   seg_start i32[S], seg_len i32[S]   slot table (len 0 = unused slot)
-#   docs_ids  u32[DCAP]  per-segment sorted mentioned-doc arrays, packed
-#   docs_start i32[S], docs_len i32[S]
-TIER_FIELDS = ("hashes", "docids", "seg_start", "seg_len", "docs_ids", "docs_start", "docs_len")
+#   mention_ids u32[MCAP]  merged sorted mentioned-doc table
+#   mention_ord i32[MCAP]  newest tier-local ordinal per mentioned doc
+#   mention_len i32[]      live entries in the mention table
+TIER_FIELDS = ("hashes", "docids", "seg_start", "seg_len", "mention_ids", "mention_ord", "mention_len")
 
 
 @dataclass(frozen=True)
@@ -118,27 +119,23 @@ def _gather_hits(p: SearchParams, file_tier, mem_tier, query, q_len):
     return d, o, inv, total, truncated
 
 
-def tier_mentions(tier, cand_ids):
-    """(C, S) membership of each candidate docid in each segment's
-    mentioned-docs array."""
-    return (
-        member_count(
-            tier["docs_ids"],
-            cand_ids[:, None],
-            tier["docs_start"][None, :],
-            tier["docs_len"][None, :],
-        )
-        > 0
-    )
+def tier_newest_ord(tier, cand_ids):
+    """Tier-local newest mention ordinal per candidate (-1 = not mentioned):
+    ONE binary search over the tier's merged mention table."""
+    lo = lower_bound(tier["mention_ids"], cand_ids, jnp.int32(0), tier["mention_len"])
+    lo_c = jnp.clip(lo, 0, tier["mention_ids"].shape[0] - 1)
+    found = jnp.logical_and(lo < tier["mention_len"], tier["mention_ids"][lo_c] == cand_ids)
+    return jnp.where(found, tier["mention_ord"][lo_c], -1)
 
 
-def _score_select(p: SearchParams, S, d, o, inv, mention_fn, limit, min_score, pct):
+def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pct):
     """Stage 3-7: sort, run-length score, supersede, cut, compact.
 
-    `mention_fn(cand_ids) -> bool[C, S]` answers which segments mention each
-    candidate doc; the sharded path psums this across docid shards.
-    `S` is the global segment-ordinal count; `d`/`o`/`inv` may be any length
-    (the sharded path passes the all-gathered hit lists).
+    `newest_fn(cand_ids) -> i32[C]` answers the newest GLOBAL segment
+    ordinal mentioning each candidate doc (-1 = none); the sharded path
+    pmaxes this across docid shards.  `S` is the global segment-ordinal
+    count; `d`/`o`/`inv` may be any length (the sharded path passes the
+    all-gathered hit lists).
     """
     P = d.shape[0]
     C = p.candidate_cap
@@ -174,10 +171,9 @@ def _score_select(p: SearchParams, S, d, o, inv, mention_fn, limit, min_score, p
     c_valid = ki[:C] == 0
     cd, co, csc = cd[:C], co[:C], csc[:C]
 
-    # 5. Supersession: mentioned in any strictly newer segment -> dead.
-    mentioned = mention_fn(cd)  # (C, S)
-    newer = jnp.arange(S, dtype=jnp.int32)[None, :] > co[:, None]
-    dead = jnp.any(jnp.logical_and(mentioned, newer), axis=1)
+    # 5. Supersession: a strictly newer segment mentions the doc -> dead.
+    newest = newest_fn(cd)  # (C,) global ordinal, -1 = unmentioned
+    dead = newest > co
     alive = jnp.logical_and(c_valid, jnp.logical_not(dead))
 
     # 6. Final cutoffs: the best survivor anchors the relative threshold
@@ -208,12 +204,15 @@ def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_s
     S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
     d, o, inv, total, truncated = _gather_hits(p, file_tier, mem_tier, query, q_len)
 
-    def mention_fn(cand_ids):
-        return jnp.concatenate(
-            [tier_mentions(file_tier, cand_ids), tier_mentions(mem_tier, cand_ids)], axis=1
-        )
+    S_F = file_tier["seg_start"].shape[0]
 
-    out = _score_select(p, S, d, o, inv, mention_fn, limit, min_score, pct)
+    def newest_fn(cand_ids):
+        f = tier_newest_ord(file_tier, cand_ids)
+        m = tier_newest_ord(mem_tier, cand_ids)
+        m_global = jnp.where(m >= 0, m + S_F, -1)
+        return jnp.maximum(f, m_global)
+
+    out = _score_select(p, S, d, o, inv, newest_fn, limit, min_score, pct)
     out["postings_scanned"] = total
     out["truncated"] = truncated
     return out

@@ -35,7 +35,7 @@ from ..ops.search_kernel import (
     SearchParams,
     _gather_hits,
     _score_select,
-    tier_mentions,
+    tier_newest_ord,
 )
 from ..engine.memseg import Segment
 from ..engine.segments import Snapshot
@@ -99,6 +99,25 @@ def _pack_tier_sharded(
     cap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_items), default=1), min_cap)
     dcap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_docs), default=1), min_cap)
 
+    # Per-shard merged mention table (docid -> newest tier-local ordinal).
+    mention = []
+    for k in range(n_shards):
+        ids_k = np.concatenate(per_shard_docs[k]) if per_shard_docs[k] else np.empty(0, np.uint32)
+        ords_k = (
+            np.concatenate(
+                [np.full(a.shape[0], s_idx, np.int32) for s_idx, a in enumerate(per_shard_docs[k])]
+            )
+            if per_shard_docs[k]
+            else np.empty(0, np.int32)
+        )
+        order = np.argsort(ids_k, kind="stable")
+        ids_k, ords_k = ids_k[order], ords_k[order]
+        last = np.ones(ids_k.shape[0], bool)
+        if ids_k.shape[0]:
+            last[:-1] = ids_k[1:] != ids_k[:-1]
+        mention.append((ids_k[last], ords_k[last]))
+    mcap = _bucket(max((m[0].shape[0] for m in mention), default=1), min_cap)
+
     S = slots
     out = {
         "hashes": np.full((n_shards, cap), 0xFFFFFFFF, np.uint32),
@@ -109,7 +128,14 @@ def _pack_tier_sharded(
         "docs_alive": np.zeros((n_shards, dcap), np.int32),
         "docs_start": np.zeros((n_shards, S), np.int32),
         "docs_len": np.zeros((n_shards, S), np.int32),
+        "mention_ids": np.full((n_shards, mcap), 0xFFFFFFFF, np.uint32),
+        "mention_ord": np.full((n_shards, mcap), -1, np.int32),
+        "mention_len": np.zeros((n_shards,), np.int32),
     }
+    for k, (mi, mo) in enumerate(mention):
+        out["mention_ids"][k, : mi.shape[0]] = mi
+        out["mention_ord"][k, : mo.shape[0]] = mo
+        out["mention_len"][k] = mi.shape[0]
     for k in range(n_shards):
         pos = 0
         for s_idx, a in enumerate(per_shard_items[k]):
@@ -171,16 +197,17 @@ def _sharded_search_impl(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         o_all = jax.lax.all_gather(o, AXIS, tiled=True)
         inv_all = jax.lax.all_gather(inv, AXIS, tiled=True)
 
-        def mention_fn(cand_ids):
-            local = jnp.concatenate(
-                [tier_mentions(f_search, cand_ids), tier_mentions(m_search, cand_ids)],
-                axis=1,
-            ).astype(jnp.int32)
-            # Each candidate doc lives in exactly one docid shard; integer
-            # psum == logical OR across shards.
-            return jax.lax.psum(local, AXIS) > 0
+        S_F = f_search["seg_start"].shape[0]
 
-        out = _score_select(params, S, d_all, o_all, inv_all, mention_fn, limit, min_score, pct)
+        def newest_fn(cand_ids):
+            f = tier_newest_ord(f_search, cand_ids)
+            m = tier_newest_ord(m_search, cand_ids)
+            local = jnp.maximum(f, jnp.where(m >= 0, m + S_F, -1))
+            # Each candidate doc lives in exactly one docid shard; pmax
+            # combines the per-shard answers exactly.
+            return jax.lax.pmax(local, AXIS)
+
+        out = _score_select(params, S, d_all, o_all, inv_all, newest_fn, limit, min_score, pct)
         out["postings_scanned"] = jax.lax.psum(total, AXIS)
         out["truncated"] = jax.lax.psum(truncated.astype(jnp.int32), AXIS) > 0
         return out

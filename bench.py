@@ -36,7 +36,7 @@ def doc_hashes(ids: np.ndarray, n: int) -> np.ndarray:
     j = np.arange(n, dtype=np.uint32)
     with np.errstate(over="ignore"):
         h = ids.astype(np.uint32)[:, None] * np.uint32(2654435761)
-        h = h + j[None, :] * np.uint32(0x9E3779B1) + np.uint32(12345)
+        h = h + j[None, :] * np.uint32(0x27D4EB2F) + np.uint32(12345)
         h = h ^ (h >> np.uint32(13))
         h = h * np.uint32(0x85EBCA6B)
         h = h ^ (h >> np.uint32(16))
@@ -49,7 +49,9 @@ def main():
 
     from acoustid_index_tpu.ops.build import sort_postings
     from acoustid_index_tpu.ops.search_kernel import SearchParams, search_segments_batch
-    from acoustid_index_tpu.engine.segments import FILE_SLOTS, MEMORY_SLOTS
+
+    FILE_SLOTS = 8  # slot bucket: the kernel's range work scales with slots
+    MEMORY_SLOTS = 8
 
     dev = jax.devices()[0]
     rng = np.random.default_rng(7)
@@ -63,7 +65,7 @@ def main():
         ids = jnp.arange(1, N_DOCS + 1, dtype=jnp.uint32)
         j = jnp.arange(HASHES_PER_DOC, dtype=jnp.uint32)
         h = ids[:, None] * jnp.uint32(2654435761)
-        h = h + j[None, :] * jnp.uint32(0x9E3779B1) + jnp.uint32(12345)
+        h = h + j[None, :] * jnp.uint32(0x27D4EB2F) + jnp.uint32(12345)
         h = h ^ (h >> jnp.uint32(13))
         h = h * jnp.uint32(0x85EBCA6B)
         h = h ^ (h >> jnp.uint32(16))
@@ -89,18 +91,18 @@ def main():
         "docids": pad(d_sorted, cap, jnp.uint32(0xFFFFFFFF)),
         "seg_start": jnp.zeros(FILE_SLOTS, jnp.int32),
         "seg_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(n_postings),
-        "docs_ids": pad(jnp.asarray(ids_host), 1 << 24, jnp.uint32(0xFFFFFFFF)),
-        "docs_start": jnp.zeros(FILE_SLOTS, jnp.int32),
-        "docs_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(N_DOCS),
+        "mention_ids": pad(jnp.asarray(ids_host), 1 << 24, jnp.uint32(0xFFFFFFFF)),
+        "mention_ord": jnp.zeros(1 << 24, jnp.int32),
+        "mention_len": jnp.int32(N_DOCS),
     }
     mem_tier = {
         "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
         "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
         "seg_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
         "seg_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
-        "docs_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
-        "docs_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
-        "docs_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
+        "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "mention_ord": jnp.full(1024, -1, jnp.int32),
+        "mention_len": jnp.int32(0),
     }
 
     params = SearchParams(query_len=QUERY_LEN, postings_budget=8192)
