@@ -30,7 +30,11 @@ class SearchStats:
 
 
 def _params_for(q_bucket: int) -> SearchParams:
-    budget = min(max(16384, q_bucket * 64), 65536)
+    # The scoring phase sorts P entries per query, so keep the budget tight:
+    # typical fingerprint queries scan a few postings per hash; heavier
+    # queries report `truncated` (the reference's own per-hash scan caps
+    # truncate far earlier, FileSegment.zig:25-26).
+    budget = min(max(2048, q_bucket * 16), 65536)
     return SearchParams(
         query_len=q_bucket,
         postings_budget=budget,
@@ -113,7 +117,7 @@ class _BatchGroup:
         self.error = None
 
 
-BATCH_SIZES = (1, 2, 4, 8, 16, 32)
+BATCH_SIZES = (1, 2, 4, 8, 16, 32, 64, 128)
 MAX_BATCH = BATCH_SIZES[-1]
 
 

@@ -94,6 +94,8 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
         raise ValueError(f"too many segments for tier: {len(segments)} > {slots}")
     slots = slot_bucket(len(segments), slots)
 
+    from ..ops.pallas_lookup import BLOCK
+
     seg_len = np.zeros(slots, dtype=np.int32)
     seg_start = np.zeros(slots, dtype=np.int32)
     docs_len = np.zeros(slots, dtype=np.int32)
@@ -102,16 +104,22 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
     for k, s in enumerate(segments):
         seg_start[k] = pos
         seg_len[k] = s.num_items
-        pos += s.num_items
+        # BLOCK-align each segment's run so postings blocks never straddle
+        # segments (the two-level lookup's invariant).
+        pos += -(-s.num_items // BLOCK) * BLOCK
         docs_start[k] = dpos
         docs_len[k] = s.num_docs
         dpos += s.num_docs
 
-    cap = _bucket(max(pos, 1), min_cap)
+    cap = _bucket(max(pos, 1), max(min_cap, BLOCK))
     dcap = _bucket(max(dpos, 1), min_cap)
 
-    hashes = _pack_runs([s.hashes for s in segments], cap, SENTINEL32)
-    docids = _pack_runs([s.docids for s in segments], cap, SENTINEL32)
+    hashes = np.full(cap, SENTINEL32, dtype=np.uint32)
+    docids = np.full(cap, SENTINEL32, dtype=np.uint32)
+    for k, s in enumerate(segments):
+        hashes[seg_start[k] : seg_start[k] + s.num_items] = s.hashes
+        docids[seg_start[k] : seg_start[k] + s.num_items] = s.docids
+    block_index = np.ascontiguousarray(hashes[::BLOCK])
     docs_ids = _pack_runs([s.docs_ids for s in segments], dcap, SENTINEL32)
     docs_alive = _pack_runs(
         [s.docs_alive.astype(np.int32) for s in segments], dcap, np.int32(0)
@@ -127,6 +135,7 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
     return {
         "hashes": jnp.asarray(hashes),
         "docids": jnp.asarray(docids),
+        "block_index": jnp.asarray(block_index),
         "seg_start": jnp.asarray(seg_start),
         "seg_len": jnp.asarray(seg_len),
         "docs_ids": jnp.asarray(docs_ids),
@@ -142,6 +151,7 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
 SEARCH_TIER_FIELDS = (
     "hashes",
     "docids",
+    "block_index",
     "seg_start",
     "seg_len",
     "mention_ids",

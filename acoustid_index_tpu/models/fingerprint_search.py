@@ -65,9 +65,11 @@ class FingerprintSearchModel:
             out = jnp.full((size,), 0xFFFFFFFF, jnp.uint32)
             return out.at[: a.shape[0]].set(a)
 
+        hashes_padded = pad(h_sorted[:n], cap)
         file_tier = {
-            "hashes": pad(h_sorted[:n], cap),
+            "hashes": hashes_padded,
             "docids": pad(d_sorted[:n], cap),
+            "block_index": hashes_padded[::1024],
             "seg_start": jnp.zeros(FILE_SLOTS, jnp.int32),
             "seg_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(n),
             "mention_ids": pad(docs, dcap),
@@ -77,6 +79,7 @@ class FingerprintSearchModel:
         mem_tier = {
             "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
             "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+            "block_index": jnp.full(1, 0xFFFFFFFF, jnp.uint32),
             "seg_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
             "seg_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
             "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),

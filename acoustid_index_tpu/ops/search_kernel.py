@@ -81,21 +81,15 @@ def _tier_ranges(tier, query, valid_q, cap_k):
     return lo, jnp.minimum(counts, cap_k), jnp.any(counts > cap_k)
 
 
-def _gather_hits(p: SearchParams, file_tier, mem_tier, query, q_len):
-    """Stage 1-2: ranges + ragged->dense gather.  Returns per-posting
-    (docid, global ordinal, invalid flag) plus scan accounting."""
-    Q, P, K = p.query_len, p.postings_budget, p.per_hash_cap
-    S_F = file_tier["seg_start"].shape[0]
-    S_M = mem_tier["seg_start"].shape[0]
-    S = S_F + S_M
+def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts):
+    """Stage 2 for ONE query: ragged->dense gather from per-tier (S, Q)
+    ranges.  Returns per-posting (docid, global ordinal, invalid flag) and
+    the number of postings gathered."""
+    Q, P = p.query_len, p.postings_budget
+    S_F = f_lo.shape[0]
+    S = S_F + m_lo.shape[0]
 
-    valid_q = (jnp.arange(Q, dtype=jnp.int32) < q_len)[None, :]
-
-    f_lo, f_counts, f_trunc = _tier_ranges(file_tier, query, valid_q, K)
-    m_lo, m_counts, m_trunc = _tier_ranges(mem_tier, query, valid_q, K)
-
-    # Ragged -> dense gather plan over the concatenated (segment, hash)
-    # ranges; flat index j // Q is the global segment ordinal.
+    # Flat index j // Q is the global segment ordinal.
     flat_counts = jnp.concatenate([f_counts.reshape(-1), m_counts.reshape(-1)])
     flat_lo = jnp.concatenate([f_lo.reshape(-1), m_lo.reshape(-1)])
     cum = jnp.cumsum(flat_counts, dtype=jnp.int32)
@@ -115,7 +109,48 @@ def _gather_hits(p: SearchParams, file_tier, mem_tier, query, q_len):
     d = jnp.where(p_valid, jnp.where(is_mem, m_vals, f_vals), SENTINEL)
     o = jnp.where(p_valid, j // Q, S).astype(jnp.int32)
     inv = jnp.logical_not(p_valid).astype(jnp.int32)
-    truncated = jnp.logical_or(jnp.logical_or(f_trunc, m_trunc), grand_total > P)
+    return d, o, inv, total, grand_total > P
+
+
+def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
+    """Stage 1 for a (B, Q) query batch: per-tier (B, S, Q) ranges.  Uses
+    the Pallas two-level lookup when the tier carries a block index (one
+    flattened lookup stream serves the whole batch), else the XLA bounded
+    binary search."""
+    from .pallas_lookup import tier_ranges_blocked
+
+    Q, K = p.query_len, p.per_hash_cap
+    B = queries.shape[0]
+    valid_q = jnp.arange(Q, dtype=jnp.int32)[None, :] < q_lens[:, None]
+
+    outs = []
+    for tier in (file_tier, mem_tier):
+        # Static-shape decision: the Pallas path pays one block DMA per
+        # lookup, which only wins when the table is big enough that random
+        # HBM gathers hurt; small tiers (e.g. the memory tier) binary-search
+        # directly.
+        from .pallas_lookup import BLOCK
+
+        if "block_index" in tier and tier["hashes"].shape[0] >= 64 * BLOCK:
+            outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
+        else:
+            lo, cnt, trunc = jax.vmap(
+                lambda q, v: _tier_ranges(tier, q, v[None, :], K), in_axes=(0, 0)
+            )(queries, valid_q)
+            outs.append((lo, cnt, jnp.any(trunc)))
+    (f_lo, f_cnt, f_tr), (m_lo, m_cnt, m_tr) = outs
+    return f_lo, f_cnt, m_lo, m_cnt, jnp.logical_or(f_tr, m_tr)
+
+
+def _gather_hits(p: SearchParams, file_tier, mem_tier, query, q_len):
+    """Single-query stage 1+2 with the XLA range phase (used by the sharded
+    path, which runs under shard_map)."""
+    Q, K = p.query_len, p.per_hash_cap
+    valid_q = (jnp.arange(Q, dtype=jnp.int32) < q_len)[None, :]
+    f_lo, f_counts, f_trunc = _tier_ranges(file_tier, query, valid_q, K)
+    m_lo, m_counts, m_trunc = _tier_ranges(mem_tier, query, valid_q, K)
+    d, o, inv, total, over = _plan_and_gather(p, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts)
+    truncated = jnp.logical_or(jnp.logical_or(f_trunc, m_trunc), over)
     return d, o, inv, total, truncated
 
 
@@ -140,35 +175,38 @@ def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pc
     P = d.shape[0]
     C = p.candidate_cap
 
-    # 3. One sort by (validity, docid, ordinal); runs = (docid, ordinal) groups.
-    inv, d, o = jax.lax.sort((inv, d, o), num_keys=3)
-    p_valid = inv == 0
+    # 3. One single-key sort: key = docid - 1 (docid 0 is rejected at ingest,
+    # so the subtraction never collides with the 0xFFFFFFFF invalid
+    # sentinel), ordinal rides as payload.  Within a doc group the winning
+    # ordinal is just the max, and the score is how many hits carry it —
+    # segment_max/segment_sum reproduce SearchResults.incr without needing
+    # ordinals sorted, which keeps the sort to one key + one payload.
+    key = jnp.where(inv == 0, d - jnp.uint32(1), SENTINEL)
+    key, o = jax.lax.sort((key, o), num_keys=1)
+    p_valid = key != SENTINEL
 
-    d_prev = jnp.concatenate([jnp.full((1,), 0, d.dtype), d[:-1]])
-    o_prev = jnp.concatenate([jnp.full((1,), -1, o.dtype), o[:-1]])
+    key_prev = jnp.concatenate([jnp.full((1,), 0, key.dtype), key[:-1]])
     first = jnp.arange(P, dtype=jnp.int32) == 0
-    run_start = jnp.logical_or(first, jnp.logical_or(d != d_prev, o != o_prev))
-    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
-    run_score = jax.ops.segment_sum(p_valid.astype(jnp.int32), run_id, num_segments=P)
+    grp_start = jnp.logical_or(first, key != key_prev)
+    gid = jnp.cumsum(grp_start.astype(jnp.int32)) - 1
+    max_o = jax.ops.segment_max(jnp.where(p_valid, o, -1), gid, num_segments=P)
+    is_win = jnp.logical_and(p_valid, o == max_o[gid])
+    grp_score = jax.ops.segment_sum(is_win.astype(jnp.int32), gid, num_segments=P)
 
-    d_next = _shift_left(d, 0)
-    valid_next = _shift_left(p_valid, False)
+    key_next = _shift_left(key, 0)
     last_pos = jnp.arange(P, dtype=jnp.int32) == P - 1
-    # Last posting of a doc group == the run of its newest segment (ordinals
-    # ascend within a doc group), i.e. the hit SearchResults.incr keeps.
-    doc_last = jnp.logical_and(
-        p_valid,
-        jnp.logical_or(last_pos, jnp.logical_or(d != d_next, jnp.logical_not(valid_next))),
-    )
+    doc_last = jnp.logical_and(p_valid, jnp.logical_or(last_pos, key != key_next))
 
-    score = run_score[run_id]
+    d = jnp.where(p_valid, key + jnp.uint32(1), SENTINEL)
+    o = max_o[gid]
+    score = grp_score[gid]
     cand = jnp.logical_and(doc_last, score >= min_score)
 
-    # 4. Rank candidates (score desc, id asc) and take the top C.
-    ki, _, cd, co, csc = jax.lax.sort(
-        (jnp.logical_not(cand).astype(jnp.int32), -score, d, o, score), num_keys=3
-    )
-    c_valid = ki[:C] == 0
+    # 4. Rank candidates (score desc, id asc) and take the top C.  One u32
+    # key encodes validity + descending score (score <= P < 2^31).
+    rank_key = jnp.where(cand, jnp.uint32(P) - score.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    rk, cd, co, csc = jax.lax.sort((rank_key, d, o, score), num_keys=2)
+    c_valid = rk[:C] != jnp.uint32(0xFFFFFFFF)
     cd, co, csc = cd[:C], co[:C], csc[:C]
 
     # 5. Supersession: a strictly newer segment mentions the doc -> dead.
@@ -200,10 +238,7 @@ def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pc
     }
 
 
-def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
-    S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
-    d, o, inv, total, truncated = _gather_hits(p, file_tier, mem_tier, query, q_len)
-
+def _newest_fn_for(file_tier, mem_tier):
     S_F = file_tier["seg_start"].shape[0]
 
     def newest_fn(cand_ids):
@@ -212,16 +247,55 @@ def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_s
         m_global = jnp.where(m >= 0, m + S_F, -1)
         return jnp.maximum(f, m_global)
 
-    out = _score_select(p, S, d, o, inv, newest_fn, limit, min_score, pct)
-    out["postings_scanned"] = total
-    out["truncated"] = truncated
-    return out
+    return newest_fn
+
+
+def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):
+    """(B, Q) batch: one range phase for the whole batch (Pallas-friendly),
+    then plan + score vmapped per query."""
+    S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
+    f_lo, f_cnt, m_lo, m_cnt, trunc = _batch_ranges(p, file_tier, mem_tier, queries, q_lens)
+    newest_fn = _newest_fn_for(file_tier, mem_tier)
+
+    def per_query(f_lo1, f_cnt1, m_lo1, m_cnt1, limit, min_score, pct):
+        d, o, inv, total, over = _plan_and_gather(p, file_tier, mem_tier, f_lo1, f_cnt1, m_lo1, m_cnt1)
+        out = _score_select(p, S, d, o, inv, newest_fn, limit, min_score, pct)
+        out["postings_scanned"] = total
+        out["truncated"] = jnp.logical_or(trunc, over)
+        return out
+
+    return jax.vmap(per_query)(f_lo, f_cnt, m_lo, m_cnt, limits, min_scores, pcts)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def search_segments(params: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
     """Single-query search over a two-tier packed segment view."""
-    return _search_one(params, file_tier, mem_tier, query, q_len, limit, min_score, pct)
+    out = _search_batch_impl(
+        params,
+        file_tier,
+        mem_tier,
+        query[None, :],
+        jnp.asarray(q_len).reshape(1),
+        jnp.asarray(limit).reshape(1),
+        jnp.asarray(min_score).reshape(1),
+        jnp.asarray(pct).reshape(1),
+    )
+    return {k: v[0] for k, v in out.items()}
+
+
+def _search_one(p: SearchParams, file_tier, mem_tier, query, q_len, limit, min_score, pct):
+    """Unjitted single-query form (driver entry / embedding use)."""
+    out = _search_batch_impl(
+        p,
+        file_tier,
+        mem_tier,
+        query[None, :],
+        jnp.asarray(q_len).reshape(1),
+        jnp.asarray(limit).reshape(1),
+        jnp.asarray(min_score).reshape(1),
+        jnp.asarray(pct).reshape(1),
+    )
+    return {k: v[0] for k, v in out.items()}
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -229,10 +303,7 @@ def search_segments_batch(params: SearchParams, file_tier, mem_tier, query, q_le
     """Batched search: query/q_len/limit/min_score/pct carry a leading batch
     dimension; the tables are shared.  The serving path batches concurrent
     searches into one device program."""
-    fn = functools.partial(_search_one, params)
-    return jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0, 0))(
-        file_tier, mem_tier, query, q_len, limit, min_score, pct
-    )
+    return _search_batch_impl(params, file_tier, mem_tier, query, q_len, limit, min_score, pct)
 
 
 def make_search_fn(params: SearchParams, batch: bool = False):

@@ -25,9 +25,9 @@ REFERENCE_QPS_ESTIMATE = 2000.0
 
 N_DOCS = 10_000_000
 HASHES_PER_DOC = 24
-BATCH = 32
+BATCH = 128
 QUERY_LEN = 64
-ROUNDS = 20
+ROUNDS = 12
 
 
 def doc_hashes(ids: np.ndarray, n: int) -> np.ndarray:
@@ -86,9 +86,11 @@ def main():
         out = jnp.full((size,), fill, a.dtype)
         return out.at[: a.shape[0]].set(a)
 
+    hashes_padded = pad(h_sorted, cap, jnp.uint32(0xFFFFFFFF))
     file_tier = {
-        "hashes": pad(h_sorted, cap, jnp.uint32(0xFFFFFFFF)),
+        "hashes": hashes_padded,
         "docids": pad(d_sorted, cap, jnp.uint32(0xFFFFFFFF)),
+        "block_index": hashes_padded[::1024],
         "seg_start": jnp.zeros(FILE_SLOTS, jnp.int32),
         "seg_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(n_postings),
         "mention_ids": pad(jnp.asarray(ids_host), 1 << 24, jnp.uint32(0xFFFFFFFF)),
@@ -98,6 +100,7 @@ def main():
     mem_tier = {
         "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
         "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "block_index": jnp.full(1, 0xFFFFFFFF, jnp.uint32),
         "seg_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
         "seg_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
         "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
@@ -105,7 +108,7 @@ def main():
         "mention_len": jnp.int32(0),
     }
 
-    params = SearchParams(query_len=QUERY_LEN, postings_budget=8192)
+    params = SearchParams(query_len=QUERY_LEN, postings_budget=2048)
 
     def make_queries():
         targets = rng.integers(1, N_DOCS + 1, BATCH, dtype=np.uint32)
