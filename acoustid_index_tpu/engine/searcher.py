@@ -34,7 +34,7 @@ def _params_for(q_bucket: int) -> SearchParams:
     # typical fingerprint queries scan a few postings per hash; heavier
     # queries report `truncated` (the reference's own per-hash scan caps
     # truncate far earlier, FileSegment.zig:25-26).
-    budget = min(max(2048, q_bucket * 16), 65536)
+    budget = min(max(1024, q_bucket * 16), 65536)
     return SearchParams(
         query_len=q_bucket,
         postings_budget=budget,

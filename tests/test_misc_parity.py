@@ -1,0 +1,125 @@
+"""Coverage parity with the reference's remaining suites: parallel segment
+loading on restart (tests/test_parallel_loading.py), the snapshot wire
+format parsed externally (tests/test_snapshot.py), and reader-snapshot
+stability across concurrent writes (Index.zig concurrency tests)."""
+
+import io
+import threading
+
+import msgpack
+import numpy as np
+import pytest
+import requests
+
+from server_fixture import Server
+
+
+def test_parallel_loading_restart(tmp_path):
+    # Force many file segments, then restart with bounded load concurrency.
+    s = Server(
+        tmp_path / "data",
+        extra_args=["--checkpoint-threshold", "5", "--checkpoint-age-ms", "0"],
+    )
+    s.start()
+    try:
+        requests.put(s.url("/idx"))
+        for i in range(1, 31):
+            requests.put(s.url(f"/idx/{i}"), json={"hashes": [i, 500 + i, 9000]})
+        # Several checkpoints happened (threshold 5 items); capture state.
+        want = requests.post(
+            s.url("/idx/_search"), json={"query": [9000, 505], "score_pct": 0, "min_score": 1}
+        ).json()
+        info = requests.get(s.url("/idx")).json()
+        assert info["stats"]["num_segments"] >= 2
+
+        s.stop()
+        s.extra_args += ["--load-concurrency", "2"]
+        s.start()
+        got = requests.post(
+            s.url("/idx/_search"), json={"query": [9000, 505], "score_pct": 0, "min_score": 1}
+        ).json()
+        assert got == want
+        assert requests.get(s.url("/idx")).json()["stats"]["num_docs"] == 30
+    finally:
+        s.stop()
+
+
+def test_snapshot_wire_format_parses_externally(tmp_path):
+    # The snapshot stream must be consumable with nothing but msgpack —
+    # header {f, g, s: [[info, size]]} then raw segment bytes.
+    s = Server(tmp_path / "data", extra_args=["--checkpoint-threshold", "5", "--checkpoint-age-ms", "0"])
+    s.start()
+    try:
+        requests.put(s.url("/idx"))
+        for i in range(1, 12):
+            requests.put(s.url(f"/idx/{i}"), json={"hashes": [i, 777]})
+        raw = requests.get(s.url("/idx/_snapshot")).content
+        hlen = int.from_bytes(raw[:4], "little")
+        header = msgpack.unpackb(raw[4 : 4 + hlen], strict_map_key=False)
+        assert header["f"] == 1
+        assert header["g"] == 1
+        total = sum(size for _info, size in header["s"])
+        assert len(raw) == 4 + hlen + total
+        # Each segment payload is a valid segment file (magic check).
+        off = 4 + hlen
+        for _info, size in header["s"]:
+            assert raw[off : off + 4] in (b"ATS1", b"ATS2")
+            off += size
+    finally:
+        s.stop()
+
+
+def test_reader_snapshot_stable_across_writes(tmp_path):
+    """A search that grabbed a snapshot must not see concurrent writes
+    (the reference's 'reader snapshot stable across writes')."""
+    from acoustid_index_tpu.engine.index import Index
+    from acoustid_index_tpu.engine.model import Insert, SearchOptions
+
+    idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
+    try:
+        for i in range(1, 6):
+            idx.update([Insert(id=i, hashes=[i, 100])])
+        snap = idx.acquire_reader()
+        before = snap.num_docs()
+        stop = threading.Event()
+        errors = []
+
+        def writer():
+            i = 100
+            while not stop.is_set():
+                try:
+                    idx.update([Insert(id=i, hashes=[i, 100])])
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    return
+                i += 1
+
+        t = threading.Thread(target=writer)
+        t.start()
+        try:
+            for _ in range(20):
+                assert snap.num_docs() == before  # the held snapshot never moves
+                results, _ = idx.searcher.search(snap, [100], SearchOptions(max_results=100, min_score_pct=0))
+                assert len(results) <= before
+        finally:
+            stop.set()
+            t.join()
+        assert not errors
+        # A fresh reader sees the writes.
+        assert idx.acquire_reader().num_docs() > before
+    finally:
+        idx.close()
+
+
+def test_memory_tier_stays_bounded_under_write_load(tmp_path):
+    from acoustid_index_tpu.engine.index import Index
+    from acoustid_index_tpu.engine.model import Insert
+    from acoustid_index_tpu.engine.segments import MEMORY_SLOTS
+
+    idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
+    try:
+        for i in range(1, 200):
+            idx.update([Insert(id=i, hashes=[i])])
+            assert len(idx.acquire_reader().memory) <= MEMORY_SLOTS
+    finally:
+        idx.close()
