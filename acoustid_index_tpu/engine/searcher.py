@@ -39,7 +39,9 @@ def _params_for(q_bucket: int) -> SearchParams:
         query_len=q_bucket,
         postings_budget=budget,
         per_hash_cap=1024,
-        candidate_cap=1024,
+        # C bounds ranked candidates; the API caps limit at 100, and the
+        # extra headroom absorbs superseded high-scorers that finish() skips.
+        candidate_cap=256,
         out_len=128,
     )
 

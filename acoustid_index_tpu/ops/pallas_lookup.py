@@ -137,6 +137,12 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     ub = upper_bound(block_index, q3, blk_start, blk_len)  # (B, S, Q)
     blk = jnp.clip(ub - 1, blk_start, jnp.maximum(blk_start, blk_start + blk_len - 1))
     blk = jnp.clip(blk, 0, nblk - 1).astype(jnp.int32)
+    # Padded query lanes and empty slots don't need their block: point them
+    # at block 0 so they form constant runs — the pipeline skips the DMA
+    # when consecutive grid steps map to the same block, making dead
+    # lookups nearly free (their counts are masked to 0 below anyway).
+    live = jnp.logical_and(valid_q[:, None, :], (tier["seg_len"] > 0)[None, :, None])
+    blk = jnp.where(live, blk, 0)
 
     # Stage 2: Pallas block scan over the flattened lookup stream.
     lookups = jnp.broadcast_to(q3, (B, S, Q)).reshape(-1)
