@@ -69,6 +69,20 @@ def run_server(args) -> None:
     logging.info("serving on %s:%d (dir=%s)", args.host, server.port, args.dir)
     print(f"LISTENING {server.port}", flush=True)
 
+    # Warm the search programs for each open index in the background so the
+    # first real query doesn't pay the compile (the persistent XLA cache
+    # makes this near-instant on later restarts).
+    def warm():
+        from .multi.multi_index import SearchRequestParams
+
+        for name in mi.index_names():
+            try:
+                mi.search(name, SearchRequestParams(query=[1, 2, 3], timeout=0))
+            except Exception:
+                logging.debug("warmup search failed for %r", name, exc_info=True)
+
+    threading.Thread(target=warm, daemon=True, name="warmup").start()
+
     legacy_server = None
     if args.legacy_port:
         from .server.legacy import LegacyServer

@@ -23,9 +23,11 @@ like commit-id comparison does in SearchResults.incr.
 For a query we run a fixed-step binary search for all (segment, hash) pairs
 at once, expand the ragged hit ranges into a fixed postings budget P via a
 prefix-sum gather, sort once by (docid, ordinal), score runs by run length,
-and resolve supersession with membership binary searches over the packed
-per-segment mentioned-docs arrays.  Everything is static-shaped and
-jit-compiled; the same program runs on CPU for tests and TPU for serving.
+and resolve supersession with one binary search per tier over a merged
+(docid -> newest ordinal) mention table.  Everything is static-shaped and
+jit-compiled; the same program runs on CPU for tests and TPU for serving
+(where the range phase upgrades to the Pallas two-level block lookup, see
+ops/pallas_lookup.py).
 
 Work bounds: K caps postings per (hash, segment) — the analogue of the
 reference's MAX_DOCS_PER_HASH=1000 scan bound (FileSegment.zig:25-26) — and
@@ -41,7 +43,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .binsearch import lower_bound, upper_bound, member_count
+from .binsearch import lower_bound, upper_bound
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -49,10 +51,11 @@ SENTINEL = jnp.uint32(0xFFFFFFFF)
 #   hashes:   u32[CAP]   postings sort key, packed contiguously per segment
 #   docids:   u32[CAP]   postings payload
 #   seg_start i32[S], seg_len i32[S]   slot table (len 0 = unused slot)
+#   block_index u32[CAP/BLOCK] sampled top index (see ops/pallas_lookup.py)
 #   mention_ids u32[MCAP]  merged sorted mentioned-doc table
 #   mention_ord i32[MCAP]  newest tier-local ordinal per mentioned doc
 #   mention_len i32[]      live entries in the mention table
-TIER_FIELDS = ("hashes", "docids", "seg_start", "seg_len", "mention_ids", "mention_ord", "mention_len")
+# (canonical field list: engine/segments.py SEARCH_TIER_FIELDS)
 
 
 @dataclass(frozen=True)

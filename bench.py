@@ -168,6 +168,7 @@ def main():
                 "n_docs": N_DOCS,
                 "n_postings": n_postings,
                 "device": str(dev),
+                "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
             }
         )
     )
