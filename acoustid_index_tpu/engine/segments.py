@@ -32,7 +32,7 @@ from .model import SearchOptions, SearchResult
 
 FILE_SLOTS = 64
 MEMORY_SLOTS = 32
-SLOT_BUCKETS = (8, 16, 32, 64)
+SLOT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 SENTINEL32 = np.uint32(0xFFFFFFFF)
 
 

@@ -18,8 +18,8 @@ import numpy as np
 
 from ..ops.build import sort_postings
 from ..ops.search_kernel import SearchParams, search_segments, search_segments_batch
-FILE_SLOTS = 8  # bulk-load shape: one segment, small slot bucket
-MEMORY_SLOTS = 8
+FILE_SLOTS = 1  # bulk-load shape: one segment
+MEMORY_SLOTS = 1
 
 
 def _bucket(n: int, minimum: int = 1024) -> int:

@@ -50,8 +50,8 @@ def main():
     from acoustid_index_tpu.ops.build import sort_postings
     from acoustid_index_tpu.ops.search_kernel import SearchParams, search_segments_batch
 
-    FILE_SLOTS = 8  # slot bucket: the kernel's range work scales with slots
-    MEMORY_SLOTS = 8
+    FILE_SLOTS = 1  # fully-merged index: the kernel's range work scales with slots
+    MEMORY_SLOTS = 1
 
     dev = jax.devices()[0]
     rng = np.random.default_rng(7)
