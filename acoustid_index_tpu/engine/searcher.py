@@ -119,7 +119,7 @@ class _BatchGroup:
         self.error = None
 
 
-BATCH_SIZES = (1, 2, 4, 8, 16, 32, 64, 128)
+BATCH_SIZES = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 MAX_BATCH = BATCH_SIZES[-1]
 
 

@@ -25,7 +25,7 @@ REFERENCE_QPS_ESTIMATE = 2000.0
 
 N_DOCS = 10_000_000
 HASHES_PER_DOC = 24
-BATCH = 128
+BATCH = 256
 QUERY_LEN = 64
 ROUNDS = 12
 
