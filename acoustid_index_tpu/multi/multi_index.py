@@ -509,10 +509,12 @@ class MultiIndex:
             self._release_ref(ref)
 
     def acquire_snapshot(self, name: str):
-        """(snapshot, generation) for snapshot export / donor streaming."""
+        """(snapshot, generation, data_dir) for snapshot export / donor
+        streaming — taken under one borrow so a concurrent bootstrap swap
+        cannot mix an old snapshot with a new lineage's directory."""
         ref = self._get_ref(name)
         try:
-            return ref.index.acquire_reader(), ref.generation
+            return ref.index.acquire_reader(), ref.generation, ref.index.data_dir
         finally:
             self._release_ref(ref)
 

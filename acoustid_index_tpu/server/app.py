@@ -229,12 +229,6 @@ class App:
         return self._respond(req, api.encode_peer_status(st, ct == MSGPACK))
 
     def handle_snapshot_export(self, req: Request) -> Response:
-        name = req.params["index"]
-        snap, generation = self.mi.acquire_snapshot(name)
-        ref = self.mi._get_ref(name)
-        try:
-            data_dir = ref.index.data_dir
-        finally:
-            self.mi._release_ref(ref)
+        snap, generation, data_dir = self.mi.acquire_snapshot(req.params["index"])
         stream = snapshot_wire.write_snapshot(snap, generation, data_dir)
         return Response(headers={"Content-Type": "application/octet-stream"}, stream=stream)
