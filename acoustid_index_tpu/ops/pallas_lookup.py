@@ -162,3 +162,25 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     # the reference's own truncation behavior, surfaced the same way.
     truncated = jnp.any(cnt >= kcap)
     return lo, cnt, truncated
+
+
+def mention_lookup_blocked(tier, cand_flat, valid=None):
+    """Newest tier-local mention ordinal per candidate via the same
+    two-level pattern: top index over mention_ids[::BLOCK] (XLA, tiny),
+    one pipelined block DMA per candidate (skipped for runs of dead
+    candidates), and a single ord gather.  Mention ids are unique per doc,
+    so the in-block equality count is 0 or 1."""
+    ids = tier["mention_ids"]
+    top = ids[::BLOCK]
+    nblk = top.shape[0]
+    blk = jnp.clip(
+        jnp.searchsorted(top, cand_flat, side="right").astype(jnp.int32) - 1, 0, nblk - 1
+    )
+    if valid is not None:
+        # Dead candidates point at block 0 so consecutive grid steps share
+        # the block and the pipeline skips their DMA.
+        blk = jnp.where(valid, blk, 0)
+    lo, cnt = block_lookup(ids, blk, cand_flat)
+    lo_c = jnp.clip(lo, 0, ids.shape[0] - 1)
+    found = jnp.logical_and(cnt > 0, lo < tier["mention_len"])
+    return jnp.where(found, tier["mention_ord"][lo_c], -1)

@@ -166,15 +166,9 @@ def tier_newest_ord(tier, cand_ids):
     return jnp.where(found, tier["mention_ord"][lo_c], -1)
 
 
-def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pct):
-    """Stage 3-7: sort, run-length score, supersede, cut, compact.
-
-    `newest_fn(cand_ids) -> i32[C]` answers the newest GLOBAL segment
-    ordinal mentioning each candidate doc (-1 = none); the sharded path
-    pmaxes this across docid shards.  `S` is the global segment-ordinal
-    count; `d`/`o`/`inv` may be any length (the sharded path passes the
-    all-gathered hit lists).
-    """
+def _score_rank(p: SearchParams, d, o, inv, min_score):
+    """Stage 3-4: sort, run-length score, candidate ranking.  Returns the
+    top-C (docid, winning ordinal, score, validity)."""
     P = d.shape[0]
     C = p.candidate_cap
 
@@ -210,10 +204,13 @@ def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pc
     rank_key = jnp.where(cand, jnp.uint32(P) - score.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
     rk, cd, co, csc = jax.lax.sort((rank_key, d, o, score), num_keys=2)
     c_valid = rk[:C] != jnp.uint32(0xFFFFFFFF)
-    cd, co, csc = cd[:C], co[:C], csc[:C]
+    return cd[:C], co[:C], csc[:C], c_valid
 
+
+def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_score, pct):
+    """Stage 5-7 given the newest mention ordinal per candidate."""
+    C = p.candidate_cap
     # 5. Supersession: a strictly newer segment mentions the doc -> dead.
-    newest = newest_fn(cd)  # (C,) global ordinal, -1 = unmentioned
     dead = newest > co
     alive = jnp.logical_and(c_valid, jnp.logical_not(dead))
 
@@ -241,6 +238,13 @@ def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pc
     }
 
 
+def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pct):
+    """Stage 3-7 for one query with a caller-supplied supersession oracle
+    (the sharded path pmaxes it across docid shards)."""
+    cd, co, csc, c_valid = _score_rank(p, d, o, inv, min_score)
+    return _final_select(p, cd, co, csc, c_valid, newest_fn(cd), limit, min_score, pct)
+
+
 def _newest_fn_for(file_tier, mem_tier):
     S_F = file_tier["seg_start"].shape[0]
 
@@ -253,21 +257,45 @@ def _newest_fn_for(file_tier, mem_tier):
     return newest_fn
 
 
+def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat):
+    """Newest global mention ordinal for a flattened candidate stream,
+    using the Pallas blocked lookup on big mention tables."""
+    from .pallas_lookup import BLOCK, mention_lookup_blocked
+
+    S_F = file_tier["seg_start"].shape[0]
+    outs = []
+    for tier, offset in ((file_tier, 0), (mem_tier, S_F)):
+        if tier["mention_ids"].shape[0] >= 64 * BLOCK:
+            ord_local = mention_lookup_blocked(tier, cand_flat, valid_flat)
+        else:
+            ord_local = tier_newest_ord(tier, cand_flat)
+        outs.append(jnp.where(ord_local >= 0, ord_local + offset, -1))
+    return jnp.maximum(outs[0], outs[1])
+
+
 def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):
     """(B, Q) batch: one range phase for the whole batch (Pallas-friendly),
     then plan + score vmapped per query."""
     S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
     f_lo, f_cnt, m_lo, m_cnt, trunc = _batch_ranges(p, file_tier, mem_tier, queries, q_lens)
-    newest_fn = _newest_fn_for(file_tier, mem_tier)
-
-    def per_query(f_lo1, f_cnt1, m_lo1, m_cnt1, limit, min_score, pct):
+    def rank_query(f_lo1, f_cnt1, m_lo1, m_cnt1, min_score):
         d, o, inv, total, over = _plan_and_gather(p, file_tier, mem_tier, f_lo1, f_cnt1, m_lo1, m_cnt1)
-        out = _score_select(p, S, d, o, inv, newest_fn, limit, min_score, pct)
+        cd, co, csc, c_valid = _score_rank(p, d, o, inv, min_score)
+        return cd, co, csc, c_valid, total, over
+
+    cd, co, csc, c_valid, totals, overs = jax.vmap(rank_query)(f_lo, f_cnt, m_lo, m_cnt, min_scores)
+
+    # Supersession runs once for the whole batch's candidate stream so the
+    # blocked mention lookup never sits under vmap.
+    newest = _batch_newest(file_tier, mem_tier, cd.reshape(-1), c_valid.reshape(-1)).reshape(cd.shape)
+
+    def select_query(cd1, co1, csc1, cv1, nw1, limit, min_score, pct, total, over):
+        out = _final_select(p, cd1, co1, csc1, cv1, nw1, limit, min_score, pct)
         out["postings_scanned"] = total
         out["truncated"] = jnp.logical_or(trunc, over)
         return out
 
-    return jax.vmap(per_query)(f_lo, f_cnt, m_lo, m_cnt, limits, min_scores, pcts)
+    return jax.vmap(select_query)(cd, co, csc, c_valid, newest, limits, min_scores, pcts, totals, overs)
 
 
 @functools.partial(jax.jit, static_argnums=0)

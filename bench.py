@@ -108,7 +108,7 @@ def main():
         "mention_len": jnp.int32(0),
     }
 
-    params = SearchParams(query_len=QUERY_LEN, postings_budget=1024, candidate_cap=256)
+    params = SearchParams(query_len=QUERY_LEN, postings_budget=512, candidate_cap=256)
 
     def make_queries():
         targets = rng.integers(1, N_DOCS + 1, BATCH, dtype=np.uint32)
