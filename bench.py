@@ -136,20 +136,30 @@ def main():
     hit_rate = float(np.mean(top_ids == targets))
     assert hit_rate > 0.95, f"self-retrieval hit rate {hit_rate}"
 
-    # ---- measure ----
+    # ---- measure: latency (one batch at a time) ----
     lat = []
-    n_queries = 0
-    t_start = time.time()
     for _ in range(ROUNDS):
         targets, qs, lens = make_queries()
         t0 = time.time()
         out = search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts)
         jax.block_until_ready(out)
         lat.append(time.time() - t0)
-        n_queries += BATCH
-    wall = time.time() - t_start
-    qps = n_queries / sum(lat)
     lat_ms = np.array(lat) * 1000.0
+
+    # ---- measure: throughput (two batches in flight — dispatch is async,
+    # so batch i+1's host work and sync overlap batch i's device time; this
+    # is how the serving path behaves under sustained load) ----
+    batches = [make_queries() for _ in range(ROUNDS)]
+    t_start = time.time()
+    pending = []
+    for _, qs, lens in batches:
+        pending.append(search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts))
+        if len(pending) > 2:
+            jax.block_until_ready(pending.pop(0))
+    jax.block_until_ready(pending)
+    wall = time.time() - t_start
+    n_queries = ROUNDS * BATCH
+    qps = n_queries / wall
 
     print(
         json.dumps(
