@@ -164,11 +164,11 @@ class Replicator:
     # ---- meta consumer ----
 
     def _meta_loop(self) -> None:
+        parked: Dict[str, Tuple[MetaOp, float]] = {}
         try:
-            self._meta_catch_up()
+            parked = self._meta_catch_up()
         except Exception:
             log.exception("meta catch-up failed")
-        parked: Dict[str, Tuple[MetaOp, float]] = {}
         while not self._stop.is_set():
             # Retry parked (poison) ops on their timer.
             now = time.monotonic()
@@ -196,9 +196,11 @@ class Replicator:
                     self._meta_applied = op.pos
                     self._applied_cond.notify_all()
 
-    def _meta_catch_up(self) -> None:
+    def _meta_catch_up(self) -> Dict[str, Tuple[MetaOp, float]]:
         """Fold history to the final state per name, reconcile once, and drop
-        local indexes the registry no longer lists."""
+        local indexes the registry no longer lists.  Failed reconciles are
+        returned parked, so the streaming loop retries them (a transient
+        failure at startup must not leave an index missing forever)."""
         final: Dict[str, MetaOp] = {}
         pos = 0
         while not self._stop.is_set():
@@ -210,6 +212,7 @@ class Replicator:
                 pos = op.pos
         self._meta_pos = pos
         active = {n for n, op in final.items() if op.kind == "create"}
+        parked: Dict[str, Tuple[MetaOp, float]] = {}
         for name in self.mi.index_names():
             if name not in active:
                 try:
@@ -217,11 +220,12 @@ class Replicator:
                 except Exception:
                     log.exception("failed to drop stale index %r", name)
         for name, op in final.items():
-            if op.kind == "create":
-                self._reconcile(op)
+            if op.kind == "create" and not self._reconcile(op):
+                parked[name] = (op, time.monotonic() + META_PARK_RETRY)
         with self._applied_cond:
             self._meta_applied = pos
             self._applied_cond.notify_all()
+        return parked
 
     def _reconcile(self, op: MetaOp) -> bool:
         try:
@@ -290,12 +294,21 @@ class Replicator:
                 v = self._fetch_snapshot(consumer, donor)
                 if v is not None:
                     return v
-            stream = None
-            try:
-                stream = self.coordinator.open_bootstrap(name, generation)
-            except Exception:
-                log.exception("open_bootstrap failed for %r", name)
-            if stream is not None:
+            # The corpus stream, when the feed offers one.  A TRANSIENT
+            # failure here must retry, never degrade to replay-from-0: a
+            # feed that offers a bootstrap declares its history incomplete,
+            # and replaying would install an honest-looking but permanently
+            # incomplete index (the exact failure the staging design
+            # exists to prevent).
+            while not consumer.stop.is_set() and not self._stop.is_set():
+                try:
+                    stream = self.coordinator.open_bootstrap(name, generation)
+                except Exception:
+                    log.exception("open_bootstrap failed for %r; retrying", name)
+                    consumer.stop.wait(2.0)
+                    continue
+                if stream is None:
+                    return 0  # feed declares complete history; replay IS the bootstrap
                 try:
                     version = self.mi.bootstrap_lineage_from_source(name, generation, stream)
                     with self._applied_cond:
@@ -303,10 +316,11 @@ class Replicator:
                         self._applied_cond.notify_all()
                     return version
                 except Exception:
-                    log.exception("corpus-stream bootstrap failed for %r", name)
+                    log.exception("corpus-stream bootstrap failed for %r; retrying", name)
+                    consumer.stop.wait(2.0)
                 finally:
                     stream.close()
-            return 0  # plain replay from 0
+            return 0
         finally:
             self._set_bootstrapping(consumer, False)
 

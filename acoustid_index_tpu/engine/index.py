@@ -79,6 +79,11 @@ class Index:
         self.external_versions = snapshot.external_versions
 
         self._pending_since: Optional[float] = None
+        # Serializes whole checkpoint attempts (merge+write+commit): a public
+        # flush() racing the maintenance thread must not write the same
+        # segment file name and have the loser's abort delete the winner's
+        # manifest-committed file.
+        self._checkpoint_lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._maintenance: Optional[threading.Thread] = None
@@ -226,15 +231,16 @@ class Index:
         with self._snapshot_lock:
             return self._snapshot
 
-    def search(self, query: Sequence[int], options: SearchOptions, timeout: Optional[float] = None):
+    def search(self, query: Sequence[int], options: SearchOptions, deadline: Optional[float] = None):
         # The device program is bounded, so the timeout guards host-side
         # queueing (the reference's cancellation fires at scan yield points;
-        # our scan is one kernel launch).  Checked before dispatch: a request
-        # that waited past its deadline is refused, a dispatched one finishes.
-        start = time.monotonic()
+        # our scan is one kernel launch).  `deadline` is an absolute
+        # monotonic timestamp taken when the request ENTERED the system;
+        # checked before dispatch, so a request that queued past its
+        # deadline is refused while a dispatched one finishes.
         snapshot = self.acquire_reader()
-        if timeout is not None and timeout > 0 and (time.monotonic() - start) > timeout:
-            raise SearchTimeout(f"search queued past {timeout}s")
+        if deadline is not None and time.monotonic() > deadline:
+            raise SearchTimeout("search queued past its deadline")
         return self.searcher.search(snapshot, query, options)
 
     # ---- writer ----
@@ -337,6 +343,10 @@ class Index:
     def checkpoint(self, force: bool = False) -> bool:
         """Flush all memory segments to one file segment; the manifest write
         is the durable commit; truncate the WAL after."""
+        with self._checkpoint_lock:
+            return self._checkpoint_locked(force)
+
+    def _checkpoint_locked(self, force: bool) -> bool:
         cur = self.acquire_reader()
         flush_count = len(cur.memory)
         if flush_count == 0:

@@ -22,11 +22,11 @@ FILE_SLOTS = 1  # bulk-load shape: one segment
 MEMORY_SLOTS = 1
 
 
+from ..engine.segments import _bucket as _bucket_impl
+
+
 def _bucket(n: int, minimum: int = 1024) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
+    return _bucket_impl(n, minimum)
 
 
 @dataclass
@@ -51,8 +51,13 @@ class FingerprintSearchModel:
         sort.  `hashes`/`doc_ids` are 1-D u32 arrays (one row per posting)."""
         import jax.numpy as jnp
 
+        doc_ids_np = np.asarray(doc_ids, np.uint32)
+        if doc_ids_np.size and int(doc_ids_np.min()) == 0:
+            # Doc id 0 is reserved engine-wide: the scoring kernel's sort key
+            # is docid-1 and 0 would alias the invalid sentinel.
+            raise ValueError("fingerprint id 0 is reserved")
         hashes = jnp.asarray(hashes, jnp.uint32)
-        doc_ids = jnp.asarray(doc_ids, jnp.uint32)
+        doc_ids = jnp.asarray(doc_ids_np)
         n = int(hashes.shape[0])
         h_sorted, d_sorted = sort_postings(hashes, doc_ids, n)
 

@@ -149,6 +149,7 @@ class MultiIndex:
     # ---- search / update ----
 
     def search(self, name: str, request: SearchRequestParams) -> List[SearchResult]:
+        deadline = (time.monotonic() + request.timeout) if request.timeout else None
         ref = self._get_ref(name)
         try:
             if self.replication is not None and self.replication.is_bootstrapping(name):
@@ -164,7 +165,7 @@ class MultiIndex:
                 min_score_pct=request.score_pct,
             )
             start = time.monotonic()
-            results, stats = ref.index.search(query, options, timeout=request.timeout or None)
+            results, stats = ref.index.search(query, options, deadline=deadline)
             metrics.observe_search_seconds(name, time.monotonic() - start)
             metrics.observe_postings_scanned(stats.postings_scanned)
             if results:

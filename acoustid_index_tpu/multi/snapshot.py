@@ -46,20 +46,29 @@ def snapshot_header(snapshot: Snapshot, generation: int, data_dir: str):
 
 
 def write_snapshot(snapshot: Snapshot, generation: int, data_dir: str) -> Iterator[bytes]:
-    """Yield the snapshot stream (header length prefix + header + raw files)."""
+    """The snapshot stream (header length prefix + header + raw files).
+
+    File descriptors are opened EAGERLY, before this returns — a concurrent
+    merge deletes retired segment files immediately, and POSIX keeps
+    unlinked-but-open files readable, so the export must grab its fds while
+    the snapshot is current, not when the response body first iterates."""
     header, files = snapshot_header(snapshot, generation, data_dir)
-    try:
-        yield len(header).to_bytes(4, "little")
-        yield header
-        for f in files:
-            while True:
-                chunk = f.read(CHUNK)
-                if not chunk:
-                    break
-                yield chunk
-    finally:
-        for f in files:
-            f.close()
+
+    def stream() -> Iterator[bytes]:
+        try:
+            yield len(header).to_bytes(4, "little")
+            yield header
+            for f in files:
+                while True:
+                    chunk = f.read(CHUNK)
+                    if not chunk:
+                        break
+                    yield chunk
+        finally:
+            for f in files:
+                f.close()
+
+    return stream()
 
 
 class SnapshotReader:

@@ -14,13 +14,20 @@ a per-block max-hash index, built for memory-system friendliness):
      index_map, so the DMA for lookup i+1 overlaps the compare for lookup
      i) and emits (lo, count) per lookup from vectorized compares.
 
-Per-lookup scan is capped at one block (BLOCK postings) — the analogue of
-the reference's MAX_DOCS_PER_HASH / MAX_BLOCKS_PER_HASH scan bounds.
+Each lookup scans TWO adjacent blocks: a hash run can straddle a block
+boundary (when the run's tail begins a block, the top index points there
+and the head lives in the previous block), so the fetch window is
+[b0, b0+1] with b0 stepped back one block when the landing block's first
+sampled hash already equals the query.  Runs longer than the two-block
+window are truncated and flagged — the analogue of the reference's
+MAX_DOCS_PER_HASH / MAX_BLOCKS_PER_HASH scan bounds.
 
 Segments must be packed BLOCK-aligned (pack_tier pads each segment's run
-with sentinels) so one block never spans two segments.  The batch serving
-path flattens (batch, segment, hash) into one lookup stream so a single
-pallas_call serves the whole batch — pallas calls never sit under vmap.
+with sentinels) so one block never spans two segments; a per-lookup flag
+masks the second block's contribution when it would cross the segment's
+end.  The batch serving path flattens (batch, segment, hash) into one
+lookup stream so a single pallas_call serves the whole batch — pallas
+calls never sit under vmap.
 """
 
 from __future__ import annotations
@@ -43,36 +50,42 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
-    """(lo, count) per lookup within the given block of `hashes`.
+def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queries: jax.Array):
+    """(lo, count) per lookup over the two-block window [blk0, blk1].
 
-    `hashes` has length a multiple of BLOCK (sentinel padded); `blk` is the
-    block id per lookup (precomputed from the top index); `queries` the u32
-    lookup keys.  lo is the absolute index of the first posting >= query in
-    the block; count the number of equal postings inside the block.
+    `hashes` has length a multiple of BLOCK (sentinel padded); `blk0`/`blk1`
+    are per-lookup block ids.  blk1 == 0 DISABLES the second block (a real
+    second block is always blk0+1 >= 1); disabled lookups then form
+    constant runs the pipeline's same-block skip makes free.  Scalar
+    prefetch arrays live in SMEM (1MB total), so the flag rides inside blk1
+    rather than a fourth array.  lo is the absolute index of the first
+    posting >= query within the window; count the number of equal postings
+    inside it.
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    G = 8  # lookups per grid step (one pipelined block DMA per operand slot)
+    G = 4  # lookups per grid step; 2 pipelined block DMAs per lookup
     TILE = 1024  # lookups per (8, 128) output tile
 
     L = queries.shape[0]
     L_pad = -(-L // TILE) * TILE
     if L_pad != L:
-        blk = jnp.concatenate([blk, jnp.zeros(L_pad - L, blk.dtype)])
-        queries = jnp.concatenate([queries, jnp.zeros(L_pad - L, queries.dtype)])
+        pad = L_pad - L
+        blk0 = jnp.concatenate([blk0, jnp.zeros(pad, blk0.dtype)])
+        blk1 = jnp.concatenate([blk1, jnp.zeros(pad, blk1.dtype)])
+        queries = jnp.concatenate([queries, jnp.zeros(pad, queries.dtype)])
     hashes2d = hashes.reshape(-1, 128)
 
-    # G lookups per grid step (G operand slots on the same postings array,
-    # each with its own scalar-prefetched block id, so the pipeline keeps G
-    # block DMAs in flight per step).  Outputs use the block-revisiting
-    # pattern: TILE consecutive lookups share one (8, 128) output tile,
-    # written via vectorized one-hot merges (scalar VMEM stores don't
-    # lower); every lane is owned by exactly one lookup, so the tile is
-    # fully defined when it flushes.
-    def kernel(blk_ref, q_ref, *refs):
-        h_refs = refs[:G]
-        lo_ref, cnt_ref = refs[G], refs[G + 1]
+    # G lookups per grid step, two block operands each (the pipeline keeps
+    # 2G block DMAs in flight per step, and skips a DMA when consecutive
+    # steps map an operand to the same block — dead lookups point at block
+    # 0 so their runs collapse).  Outputs use the block-revisiting pattern:
+    # TILE consecutive lookups share one (8, 128) output tile, written via
+    # vectorized one-hot merges (scalar VMEM stores don't lower); every
+    # lane is owned by exactly one lookup.
+    def kernel(blk0_ref, blk1_ref, q_ref, *refs):
+        h_refs = refs[: 2 * G]
+        lo_ref, cnt_ref = refs[2 * G], refs[2 * G + 1]
         i = pl.program_id(0)
         base = i * G
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -82,27 +95,37 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
         for k in range(G):
             j = base + k
             q = q_ref[j]
-            block = h_refs[k][:, :]
-            lt = jnp.sum((block < q).astype(jnp.int32))
-            eq = jnp.sum((block == q).astype(jnp.int32))
+            flag = (blk1_ref[j] > 0).astype(jnp.int32)
+            b0 = h_refs[2 * k][:, :]
+            b1 = h_refs[2 * k + 1][:, :]
+            lt = jnp.sum((b0 < q).astype(jnp.int32)) + flag * jnp.sum((b1 < q).astype(jnp.int32))
+            eq = jnp.sum((b0 == q).astype(jnp.int32)) + flag * jnp.sum((b1 == q).astype(jnp.int32))
             row = (j % TILE) // 128
             lane = j % 128
             mask = jnp.logical_and(rows == row, lanes == lane)
-            lo_tile = jnp.where(mask, blk_ref[j] * BLOCK + lt, lo_tile)
+            lo_tile = jnp.where(mask, blk0_ref[j] * BLOCK + lt, lo_tile)
             cnt_tile = jnp.where(mask, eq, cnt_tile)
         lo_ref[:, :] = lo_tile
         cnt_ref[:, :] = cnt_tile
 
     def in_spec(k):
-        return pl.BlockSpec((ROWS, 128), lambda i, blk_ref, q_ref, k=k: (blk_ref[i * G + k], 0))
+        half = k % 2
+        idx = k // 2
+        if half == 0:
+            return pl.BlockSpec(
+                (ROWS, 128), lambda i, b0, b1, q, idx=idx: (b0[i * G + idx], 0)
+            )
+        return pl.BlockSpec(
+            (ROWS, 128), lambda i, b0, b1, q, idx=idx: (b1[i * G + idx], 0)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # block ids + queries
+        num_scalar_prefetch=3,  # blk0, blk1 (0 = second block disabled), queries
         grid=(L_pad // G,),
-        in_specs=[in_spec(k) for k in range(G)],
+        in_specs=[in_spec(k) for k in range(2 * G)],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i, blk_ref, q_ref: (i * G // TILE, 0)),
-            pl.BlockSpec((8, 128), lambda i, blk_ref, q_ref: (i * G // TILE, 0)),
+            pl.BlockSpec((8, 128), lambda i, b0, b1, q: (i * G // TILE, 0)),
+            pl.BlockSpec((8, 128), lambda i, b0, b1, q: (i * G // TILE, 0)),
         ],
     )
     lo, cnt = pl.pallas_call(
@@ -113,8 +136,15 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
             jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),
         ),
         interpret=_use_interpret(),
-    )(blk, queries, *([hashes2d] * G))
+    )(blk0, blk1, queries, *([hashes2d] * (2 * G)))
     return lo.reshape(-1)[:L], cnt.reshape(-1)[:L]
+
+
+def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
+    """Single-block (lo, count) lookup — for tables of UNIQUE keys (the
+    mention tables), where a key never spans blocks.  The second operand is
+    pinned to block 0 and masked out, so its DMA collapses to nothing."""
+    return block_lookup_pair(hashes, blk, jnp.zeros_like(blk), queries)
 
 
 def tier_ranges_blocked(tier, queries, valid_q, cap_k):
@@ -129,24 +159,42 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     block_index = tier["block_index"]
     nblk = block_index.shape[0]
 
-    # Stage 1: block id per (batch, segment, hash) from the small top
-    # index, restricted to the segment's block range.
+    # Stage 1: landing block per (batch, segment, hash) from the small top
+    # index, restricted to the segment's block range.  `blk` is the LAST
+    # block whose first sampled hash is <= q, so a run never extends past
+    # it; it can extend BEFORE it exactly when that first sample == q, in
+    # which case the window steps back one block.
     blk_start = (tier["seg_start"] // BLOCK)[None, :, None]  # (1, S, 1)
     blk_len = ((tier["seg_len"] + BLOCK - 1) // BLOCK)[None, :, None]
+    blk_last = jnp.maximum(blk_start, blk_start + blk_len - 1)
     q3 = queries[:, None, :]  # (B, 1, Q)
     ub = upper_bound(block_index, q3, blk_start, blk_len)  # (B, S, Q)
-    blk = jnp.clip(ub - 1, blk_start, jnp.maximum(blk_start, blk_start + blk_len - 1))
-    blk = jnp.clip(blk, 0, nblk - 1).astype(jnp.int32)
-    # Padded query lanes and empty slots don't need their block: point them
+    blk = jnp.clip(jnp.clip(ub - 1, blk_start, blk_last), 0, nblk - 1).astype(jnp.int32)
+
+    landing_sample = block_index[blk]
+    step_back = jnp.logical_and(landing_sample == q3, blk > blk_start)
+    b0 = jnp.where(step_back, blk - 1, blk)
+    b1 = jnp.minimum(b0 + 1, nblk - 1)
+    # The second block only contributes inside the segment's block range;
+    # blk1 == 0 disables it (a real second block is always >= 1).
+    enabled = jnp.logical_and(b1 <= blk_last, b1 != b0)
+    # A run that still starts before the window is cut short: flag it.
+    window_sample = block_index[b0]
+    spill = jnp.logical_and(window_sample == q3, b0 > blk_start)
+
+    # Padded query lanes and empty slots don't need their blocks: point them
     # at block 0 so they form constant runs — the pipeline skips the DMA
     # when consecutive grid steps map to the same block, making dead
     # lookups nearly free (their counts are masked to 0 below anyway).
     live = jnp.logical_and(valid_q[:, None, :], (tier["seg_len"] > 0)[None, :, None])
-    blk = jnp.where(live, blk, 0)
+    b0 = jnp.where(live, b0, 0)
+    b1 = jnp.where(jnp.logical_and(live, enabled), b1, 0)
 
-    # Stage 2: Pallas block scan over the flattened lookup stream.
+    # Stage 2: Pallas two-block scan over the flattened lookup stream.
     lookups = jnp.broadcast_to(q3, (B, S, Q)).reshape(-1)
-    lo_flat, cnt_flat = block_lookup(tier["hashes"], blk.reshape(-1), lookups)
+    lo_flat, cnt_flat = block_lookup_pair(
+        tier["hashes"], b0.reshape(-1), b1.reshape(-1), lookups
+    )
     lo = lo_flat.reshape(B, S, Q)
     cnt = cnt_flat.reshape(B, S, Q)
 
@@ -156,11 +204,15 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     lo = jnp.clip(lo, start3, end3)
     cnt = jnp.minimum(cnt, end3 - lo)
     cnt = jnp.where(valid_q[:, None, :], cnt, 0)
-    kcap = jnp.int32(min(cap_k, BLOCK))
+    kcap = jnp.int32(min(cap_k, 2 * BLOCK))
     cnt = jnp.minimum(cnt, kcap)
-    # A hash run can spill past its block; the single-block scan bound is
-    # the reference's own truncation behavior, surfaced the same way.
-    truncated = jnp.any(cnt >= kcap)
+    # Truncation: the window cap clipped a long run, or the run started
+    # before the two-block window (the reference's scan bounds truncate the
+    # same way, surfaced the same way).
+    truncated = jnp.logical_or(
+        jnp.any(jnp.logical_and(cnt >= kcap, live)),
+        jnp.any(jnp.logical_and(spill, live)),
+    )
     return lo, cnt, truncated
 
 
@@ -169,7 +221,7 @@ def mention_lookup_blocked(tier, cand_flat, valid=None):
     two-level pattern: top index over mention_ids[::BLOCK] (XLA, tiny),
     one pipelined block DMA per candidate (skipped for runs of dead
     candidates), and a single ord gather.  Mention ids are unique per doc,
-    so the in-block equality count is 0 or 1."""
+    so a key never spans blocks and the in-block equality count is 0 or 1."""
     ids = tier["mention_ids"]
     top = ids[::BLOCK]
     nblk = top.shape[0]

@@ -219,7 +219,11 @@ def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_scor
     best = jnp.max(jnp.where(alive, csc, 0))
     cutoff = jnp.maximum(min_score, best * pct // 100)
     rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    keep = jnp.logical_and(alive, jnp.logical_and(csc >= cutoff, rank < limit))
+    # `limit` is clamped to the padded output width: the HTTP API caps limit
+    # at 100 < out_len, and the legacy protocol's 500 default degrades to
+    # the top out_len rather than overrunning the output tile.
+    limit_eff = jnp.minimum(limit, jnp.int32(p.out_len))
+    keep = jnp.logical_and(alive, jnp.logical_and(csc >= cutoff, rank < limit_eff))
 
     # 7. Compact kept results to the front (order is already score desc, id asc).
     order = jnp.arange(C, dtype=jnp.int32)

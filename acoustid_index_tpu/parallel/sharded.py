@@ -49,11 +49,11 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices[:n]), (AXIS,))
 
 
+from ..engine.segments import _bucket as _bucket_impl
+
+
 def _bucket(n: int, minimum: int = 1024) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
+    return _bucket_impl(n, minimum)
 
 
 def hash_bounds(n_shards: int) -> np.ndarray:

@@ -148,7 +148,14 @@ class _ConnHandler(socketserver.BaseRequestHandler):
             k, _, v = h.decode("latin1").partition(":")
             headers[k.strip().lower()] = v.strip()
 
-        length = int(headers.get("content-length", "0") or "0")
+        try:
+            length = int(headers.get("content-length", "0") or "0")
+        except ValueError:
+            self._send_simple(400, b"bad content-length")
+            return False
+        if length < 0:
+            self._send_simple(400, b"bad content-length")
+            return False
         if length > MAX_BODY:
             self._send_simple(413, b"body too large")
             return False

@@ -1,0 +1,94 @@
+"""The two-level blocked lookup must be exact for equal-hash runs that
+straddle block boundaries (regression: the single-block window silently
+dropped the head of a straddling run)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acoustid_index_tpu.ops.pallas_lookup import BLOCK, tier_ranges_blocked
+from acoustid_index_tpu.ops.binsearch import lower_bound, upper_bound
+
+
+def make_tier(hashes: np.ndarray):
+    n = hashes.shape[0]
+    cap = BLOCK
+    while cap < n:
+        cap *= 2
+    padded = np.full(cap, 0xFFFFFFFF, np.uint32)
+    padded[:n] = hashes
+    h = jnp.asarray(padded)
+    return {
+        "hashes": h,
+        "block_index": h[::BLOCK],
+        "seg_start": jnp.zeros(1, jnp.int32),
+        "seg_len": jnp.zeros(1, jnp.int32).at[0].set(n),
+    }, n
+
+
+def run_blocked(tier, queries, cap_k=2048):
+    q = np.zeros(64, np.uint32)
+    q[: len(queries)] = queries
+    lo, cnt, trunc = tier_ranges_blocked(
+        tier, jnp.asarray(q)[None, :], jnp.asarray(np.arange(64) < len(queries))[None, :], cap_k
+    )
+    return int(np.asarray(lo)[0, 0, 0]), int(np.asarray(cnt)[0, 0, 0]), bool(trunc)
+
+
+def reference_bounds(tier, n, queries):
+    q = jnp.asarray(np.asarray(queries, np.uint32))
+    lo = lower_bound(tier["hashes"], q, jnp.int32(0), jnp.int32(n))
+    hi = upper_bound(tier["hashes"], q, jnp.int32(0), jnp.int32(n))
+    return np.asarray(lo), np.asarray(hi - lo)
+
+
+@pytest.mark.parametrize(
+    "run_start,run_len",
+    [
+        (BLOCK - 4, 11),  # run straddles the block 0/1 boundary
+        (BLOCK, 7),  # run begins exactly at a block boundary
+        (BLOCK - 1, 2),  # minimal straddle
+        (500, 5),  # fully inside one block
+        (2 * BLOCK - 3, 6),  # straddles a later boundary
+    ],
+)
+def test_straddling_runs_are_exact(run_start, run_len):
+    H = 1_000_000
+    n = 4 * BLOCK
+    hashes = np.arange(n, dtype=np.uint32)  # strictly increasing
+    hashes[run_start : run_start + run_len] = H
+    hashes[run_start + run_len :] = np.arange(
+        H + 1, H + 1 + (n - run_start - run_len), dtype=np.uint32
+    )
+    tier, n_live = make_tier(np.sort(hashes))
+
+    lo, cnt, trunc = run_blocked(tier, [H])
+    want_lo, want_cnt = reference_bounds(tier, n_live, [H])
+    assert cnt == want_cnt[0], (cnt, want_cnt[0])
+    assert lo == want_lo[0], (lo, want_lo[0])
+    assert not trunc
+
+
+def test_long_run_truncates_with_flag():
+    H = 5_000
+    n = 6 * BLOCK
+    hashes = np.full(n, H, np.uint32)
+    hashes[: BLOCK // 2] = np.arange(BLOCK // 2, dtype=np.uint32)  # head below H
+    tier, n_live = make_tier(hashes)
+    lo, cnt, trunc = run_blocked(tier, [H])
+    assert trunc  # the >2-block run cannot be fully scanned
+    assert cnt <= 2 * BLOCK
+    # Whatever window was scanned, it contains only equal postings.
+    h = np.asarray(tier["hashes"])
+    assert np.all(h[lo : lo + cnt] == H)
+
+
+def test_absent_hash_and_sentinel():
+    n = 3 * BLOCK
+    hashes = np.sort(np.random.default_rng(0).integers(10, 2**31, n, dtype=np.uint32))
+    tier, n_live = make_tier(hashes)
+    lo, cnt, trunc = run_blocked(tier, [5])  # below everything
+    assert cnt == 0
+    lo, cnt, trunc = run_blocked(tier, [0xFFFFFFFF])  # sentinel-valued query
+    assert cnt == 0  # padding must not count
