@@ -1,0 +1,180 @@
+"""Large-scale benchmark: 134M fingerprints (2^27) / 1.07B postings on ONE
+chip — the 100M-fingerprint scale point from BASELINE.md, which the
+reference can only reach on a large-RAM single node.
+
+The term table is built analytically (no device sort): doc ids are a
+bit-reversal permutation of the sorted posting positions within each of 8
+hash bands, so the table is sorted by construction and every hash is
+unique.  That makes scoring collision-free (lighter than a real corpus,
+where a few postings share a hash), but the lookup machinery — top-index
+search, block DMAs, budget gather, sort, supersession — does exactly the
+work a real 1B-posting index does.  ~9.7GB of HBM.
+
+Prints one JSON line like bench.py (metric search_qps_134M_fp_1chip).
+"""
+
+import json
+import time
+
+import numpy as np
+
+DOC_BITS = 27
+N_DOCS = 1 << DOC_BITS  # 134,217,728
+HASHES_PER_DOC = 8  # 8 bands of 2^29 hash space
+BAND = 1 << 29
+BATCH = 256
+QUERY_LEN = 64
+ROUNDS = 10
+
+
+def bitrev27(x):
+    """Bit-reverse over 27 bits (a self-inverse permutation of [0, 2^27))."""
+    import jax.numpy as jnp
+
+    v = x.astype(jnp.uint32)
+    r = jnp.zeros_like(v)
+    for b in range(DOC_BITS):
+        r = r | (((v >> b) & 1) << (DOC_BITS - 1 - b))
+    return r
+
+
+def np_bitrev27(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.uint64)
+    r = np.zeros_like(v)
+    for b in range(DOC_BITS):
+        r |= ((v >> b) & 1) << (DOC_BITS - 1 - b)
+    return r.astype(np.uint32)
+
+
+def doc_hashes_np(doc_ids: np.ndarray) -> np.ndarray:
+    """The 8 hashes of each doc (doc ids are 1-based)."""
+    p = np_bitrev27(doc_ids - 1)  # position within each band
+    bands = np.arange(HASHES_PER_DOC, dtype=np.uint64) * BAND
+    return (bands[None, :] + p[:, None].astype(np.uint64) * 4).astype(np.uint32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from acoustid_index_tpu.ops.search_kernel import SearchParams, search_segments_batch
+    from acoustid_index_tpu.ops.pallas_lookup import BLOCK
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(11)
+    n_postings = N_DOCS * HASHES_PER_DOC  # 2^30
+
+    t0 = time.time()
+
+    @jax.jit
+    def make_tiers():
+        # Sorted by construction: band-major, position-ascending.
+        p = jnp.arange(N_DOCS, dtype=jnp.uint32)
+        docs_per_band = bitrev27(p) + 1  # docid at sorted position p
+        hashes = (
+            jnp.arange(HASHES_PER_DOC, dtype=jnp.uint32)[:, None] * jnp.uint32(BAND)
+            + p[None, :] * jnp.uint32(4)
+        ).reshape(-1)
+        docids = jnp.broadcast_to(docs_per_band[None, :], (HASHES_PER_DOC, N_DOCS)).reshape(-1)
+        return hashes, docids
+
+    hashes, docids = make_tiers()
+    hashes.block_until_ready()
+
+    file_tier = {
+        "hashes": hashes,
+        "docids": docids,
+        "block_index": hashes[::BLOCK],
+        "seg_start": jnp.zeros(1, jnp.int32),
+        "seg_len": jnp.zeros(1, jnp.int32).at[0].set(n_postings),
+        # Mention table: every doc alive in the single segment = ids 1..N
+        # sorted, ordinal 0 — representable analytically too.
+        "mention_ids": jnp.arange(1, N_DOCS + 1, dtype=jnp.uint32),
+        "mention_ord": jnp.zeros(N_DOCS, jnp.int32),
+        "mention_len": jnp.int32(N_DOCS),
+    }
+    mem_tier = {
+        "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "block_index": jnp.full(1, 0xFFFFFFFF, jnp.uint32),
+        "seg_start": jnp.zeros(1, jnp.int32),
+        "seg_len": jnp.zeros(1, jnp.int32),
+        "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "mention_ord": jnp.full(1024, -1, jnp.int32),
+        "mention_len": jnp.int32(0),
+    }
+    build_s = time.time() - t0
+
+    params = SearchParams(query_len=QUERY_LEN, postings_budget=512, candidate_cap=256)
+
+    def make_queries():
+        targets = rng.integers(1, N_DOCS + 1, BATCH, dtype=np.uint32)
+        qs = np.zeros((BATCH, QUERY_LEN), np.uint32)
+        lens = np.zeros(BATCH, np.int32)
+        hs = doc_hashes_np(targets)
+        for b in range(BATCH):
+            noise = rng.integers(0, 2**32, 4, dtype=np.uint32)
+            q = np.unique(np.concatenate([hs[b, :6], noise]))  # 6 of 8 + noise
+            qs[b, : q.shape[0]] = q
+            lens[b] = q.shape[0]
+        return targets, qs, lens
+
+    limits = np.full(BATCH, 10, np.int32)
+    min_scores = np.full(BATCH, 2, np.int32)
+    pcts = np.full(BATCH, 10, np.int32)
+
+    targets, qs, lens = make_queries()
+    t0 = time.time()
+    out = jax.device_get(search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts))
+    compile_s = time.time() - t0
+    hit_rate = float(np.mean(out["ids"][:, 0] == targets))
+    top_scores = out["scores"][:, 0]
+    assert hit_rate == 1.0, f"self-retrieval hit rate {hit_rate}"
+    assert np.all(top_scores == 6), top_scores[:5]
+
+    lat = []
+    for _ in range(ROUNDS):
+        targets, qs, lens = make_queries()
+        t0 = time.time()
+        out = search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts)
+        jax.block_until_ready(out)
+        lat.append(time.time() - t0)
+    lat_ms = np.array(lat) * 1000.0
+
+    batches = [make_queries() for _ in range(ROUNDS)]
+    t_start = time.time()
+    pending = []
+    for _, qs, lens in batches:
+        pending.append(search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts))
+        if len(pending) > 2:
+            jax.block_until_ready(pending.pop(0))
+    jax.block_until_ready(pending)
+    wall = time.time() - t_start
+    qps = ROUNDS * BATCH / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "search_qps_134M_fp_1chip",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": None,
+                "batch": BATCH,
+                "p50_batch_ms": round(float(np.percentile(lat_ms, 50)), 2),
+                "p99_batch_ms": round(float(np.percentile(lat_ms, 99)), 2),
+                "per_query_p50_ms": round(float(np.percentile(lat_ms, 50)) / BATCH, 3),
+                "build_s": round(build_s, 1),
+                "compile_s": round(compile_s, 1),
+                "self_retrieval_hit_rate": hit_rate,
+                "n_docs": N_DOCS,
+                "n_postings": n_postings,
+                "hbm_gb": round((n_postings * 8 + N_DOCS * 8) / 2**30, 1),
+                "device": str(dev),
+                "note": "collision-free synthetic corpus (unique hashes); lookup work matches a real 1B-posting table, scoring is lighter",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
