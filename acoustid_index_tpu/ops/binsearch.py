@@ -21,7 +21,7 @@ import jax.numpy as jnp
 _STEPS = 32  # ceil(log2(max run length)); u32-indexed buffers
 
 
-def _bound(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array, *, upper: bool) -> jax.Array:
+def _bound(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array, *, upper: bool, steps: int = _STEPS) -> jax.Array:
     """Insertion point of `keys` in data[start : start+length) (sorted asc).
 
     Returns absolute indices into `data`, in [start, start+length].
@@ -45,18 +45,26 @@ def _bound(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array
         new_hi = jnp.where(jnp.logical_and(active, jnp.logical_not(go_right)), mid, hi)
         return new_lo, new_hi
 
-    lo, hi = jax.lax.fori_loop(0, _STEPS, step, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, steps, step, (lo, hi))
     return lo
 
 
-def lower_bound(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array) -> jax.Array:
+def lower_bound(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array, steps: int = _STEPS) -> jax.Array:
     """First index in [start, start+length) whose value is >= key."""
-    return _bound(data, keys, start, length, upper=False)
+    return _bound(data, keys, start, length, upper=False, steps=steps)
 
 
-def upper_bound(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array) -> jax.Array:
+def upper_bound(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array, steps: int = _STEPS) -> jax.Array:
     """First index in [start, start+length) whose value is > key."""
-    return _bound(data, keys, start, length, upper=True)
+    return _bound(data, keys, start, length, upper=True, steps=steps)
+
+
+def steps_for(n: int) -> int:
+    """Binary-search iterations needed for runs of length <= n."""
+    s = 0
+    while (1 << s) < n + 1:
+        s += 1
+    return max(s, 1)
 
 
 def member_count(data: jax.Array, keys: jax.Array, start: jax.Array, length: jax.Array) -> jax.Array:

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .binsearch import upper_bound
+from .binsearch import steps_for, upper_bound
 
 BLOCK = 1024  # postings per block; 4KB of hashes = (8, 128) tiles
 ROWS = BLOCK // 128
@@ -226,7 +226,9 @@ def mention_lookup_blocked(tier, cand_flat, valid=None):
     top = ids[::BLOCK]
     nblk = top.shape[0]
     blk = jnp.clip(
-        jnp.searchsorted(top, cand_flat, side="right").astype(jnp.int32) - 1, 0, nblk - 1
+        upper_bound(top, cand_flat, jnp.int32(0), jnp.int32(nblk), steps=steps_for(nblk)).astype(jnp.int32) - 1,
+        0,
+        nblk - 1,
     )
     if valid is not None:
         # Dead candidates point at block 0 so consecutive grid steps share

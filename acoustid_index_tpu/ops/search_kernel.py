@@ -43,7 +43,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .binsearch import lower_bound, upper_bound
+from .binsearch import lower_bound, steps_for, upper_bound
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -100,7 +100,12 @@ def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo,
     total = jnp.minimum(grand_total, P)
 
     pos = jnp.arange(P, dtype=jnp.int32)
-    j = jnp.searchsorted(cum, pos, side="right").astype(jnp.int32)
+    # Hand-rolled bounded search: jnp.searchsorted's TPU lowering measured
+    # ~6x slower than direct fori-loop gathers at this shape.
+    j = upper_bound(
+        cum.astype(jnp.uint32), pos.astype(jnp.uint32) , jnp.int32(0), jnp.int32(S * Q),
+        steps=steps_for(S * Q),
+    ).astype(jnp.int32)
     j = jnp.clip(j, 0, S * Q - 1)
     within = pos - (cum[j] - flat_counts[j])
     src = flat_lo[j] + within
