@@ -64,7 +64,7 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    G = 4  # lookups per grid step; 2 pipelined block DMAs per lookup
+    G = 8  # lookups per grid step; 2 pipelined block DMAs per lookup
     TILE = 1024  # lookups per (8, 128) output tile
 
     L = queries.shape[0]
