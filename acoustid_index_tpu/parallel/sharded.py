@@ -33,10 +33,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.search_kernel import (
     SearchParams,
-    _gather_hits,
+    _batch_ranges,
+    _plan_and_gather,
     _score_select,
     tier_newest_ord,
 )
+from ..ops.pallas_lookup import BLOCK
 from ..engine.memseg import Segment
 from ..engine.segments import Snapshot
 
@@ -118,6 +120,13 @@ def _pack_tier_sharded(
         mention.append((ids_k[last], ords_k[last]))
     mcap = _bucket(max((m[0].shape[0] for m in mention), default=1), min_cap)
 
+    # BLOCK-align each segment's per-shard run so the two-level lookup's
+    # blocks never straddle segments.
+    def aligned(chunks):
+        return sum(-(-a.shape[0] // BLOCK) * BLOCK for a in chunks)
+
+    cap = _bucket(max((aligned(chunks) for chunks in per_shard_items), default=1), max(min_cap, BLOCK))
+
     S = slots
     out = {
         "hashes": np.full((n_shards, cap), 0xFFFFFFFF, np.uint32),
@@ -131,6 +140,7 @@ def _pack_tier_sharded(
         "mention_ids": np.full((n_shards, mcap), 0xFFFFFFFF, np.uint32),
         "mention_ord": np.full((n_shards, mcap), -1, np.int32),
         "mention_len": np.zeros((n_shards,), np.int32),
+        "block_index": np.full((n_shards, cap // BLOCK), 0xFFFFFFFF, np.uint32),
     }
     for k, (mi, mo) in enumerate(mention):
         out["mention_ids"][k, : mi.shape[0]] = mi
@@ -143,7 +153,7 @@ def _pack_tier_sharded(
             out["seg_len"][k, s_idx] = a.shape[0]
             out["hashes"][k, pos : pos + a.shape[0]] = a
             out["docids"][k, pos : pos + a.shape[0]] = per_shard_ids[k][s_idx]
-            pos += a.shape[0]
+            pos += -(-a.shape[0] // BLOCK) * BLOCK
         dpos = 0
         for s_idx, a in enumerate(per_shard_docs[k]):
             out["docs_start"][k, s_idx] = dpos
@@ -151,6 +161,7 @@ def _pack_tier_sharded(
             out["docs_ids"][k, dpos : dpos + a.shape[0]] = a
             out["docs_alive"][k, dpos : dpos + a.shape[0]] = per_shard_alive[k][s_idx]
             dpos += a.shape[0]
+        out["block_index"][k] = out["hashes"][k, ::BLOCK]
     return out
 
 
@@ -188,8 +199,16 @@ def _sharded_search_impl(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         f_search = {k: v for k, v in file_t.items() if k != "docs_alive"}
         m_search = {k: v for k, v in mem_t.items() if k != "docs_alive"}
 
-        # Local hit-list over this shard's hash range.
-        d, o, inv, total, truncated = _gather_hits(params, f_search, m_search, query, q_len)
+        # Local hit-list over this shard's hash range.  _batch_ranges
+        # auto-selects the Pallas blocked lookup for big shards and the XLA
+        # bounded search for small ones (e.g. dryrun shapes).
+        f_lo, f_cnt, m_lo, m_cnt, r_trunc = _batch_ranges(
+            params, f_search, m_search, query[None, :], q_len[None]
+        )
+        d, o, inv, total, over = _plan_and_gather(
+            params, f_search, m_search, f_lo[0], f_cnt[0], m_lo[0], m_cnt[0]
+        )
+        truncated = jnp.logical_or(r_trunc, over)
 
         # Exact cross-shard combine: concatenate every shard's hit list
         # (tiny: P * 12 bytes per shard) and score identically everywhere.
