@@ -145,7 +145,11 @@ class MemoryCoordinator(Coordinator):
                 lin = self._lineage(index_name, generation)
                 if after < lin.retention_floor:
                     raise errors.BelowRetention(f"after {after} < floor {lin.retention_floor}")
-                out = [e for e in lin.entries if e.id > after][:max_entries]
+                # Seqs are dense: entries[i].id == first_seq + i, so the batch
+                # is a slice — O(batch), not O(history) per poll (replicas
+                # poll at the 50ms floor; a scan would melt on long lineages).
+                start = max(after + 1 - lin.first_seq, 0)
+                out = lin.entries[start : start + max_entries]
                 if out:
                     return out
                 remaining = deadline - time.monotonic()
@@ -181,7 +185,9 @@ class MemoryCoordinator(Coordinator):
     def read_meta(self, after, max_ops, deadline):
         with self._lock:
             while True:
-                out = [op for op in self._meta if op.pos > after][:max_ops]
+                # Meta positions are dense and never truncated: op.pos == i+1.
+                start = max(after, 0)
+                out = self._meta[start : start + max_ops]
                 if out:
                     return out
                 remaining = deadline - time.monotonic()
@@ -196,8 +202,9 @@ class MemoryCoordinator(Coordinator):
             lin = self._lineage(index_name, generation)
             lin.retention_floor = max(lin.retention_floor, floor)
             lin.entries = [e for e in lin.entries if e.id > lin.retention_floor]
-            if lin.entries:
-                lin.first_seq = lin.entries[0].id
+            # Keep first_seq == entries[0].id (dense seqs); on an empty tail
+            # the next live entry will be last_seq + 1.
+            lin.first_seq = lin.entries[0].id if lin.entries else lin.last_seq + 1
             self._lock.notify_all()
 
     def open_bootstrap(self, index_name, generation):

@@ -241,7 +241,7 @@ class Index:
         snapshot = self.acquire_reader()
         if deadline is not None and time.monotonic() > deadline:
             raise SearchTimeout("search queued past its deadline")
-        return self.searcher.search(snapshot, query, options)
+        return self.searcher.search(snapshot, query, options, deadline=deadline)
 
     # ---- writer ----
 
@@ -447,8 +447,16 @@ class Index:
         return True
 
     def flush(self) -> None:
-        """Flush everything to disk (used before snapshot install)."""
-        with self._write_lock:
-            while self._merge_memory_locked(all_segments=True):
-                pass
-        self.checkpoint(force=True)
+        """Flush everything to disk (used before snapshot install).
+
+        checkpoint() can abort-and-return-True when a concurrent
+        backpressure fold changed the memory prefix mid-merge, so a single
+        forced call is not enough: loop until the memory tier is actually
+        empty (callers treat flush() as "everything durable")."""
+        while True:
+            with self._write_lock:
+                while self._merge_memory_locked(all_segments=True):
+                    pass
+            self.checkpoint(force=True)
+            if not self.acquire_reader().memory:
+                return

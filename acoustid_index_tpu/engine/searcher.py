@@ -22,6 +22,12 @@ from .segments import Snapshot, tier_view_for_search
 QUERY_BUCKETS = (64, 256, 1024, 4096)
 MAX_QUERY_HASHES = QUERY_BUCKETS[-1]
 
+# The HTTP API caps limit at 100 (-> the 128 bucket); the legacy protocol's
+# session max_results defaults to 500 (legacy.zig:44) and must be honored, so
+# a second bucket serves large limits.  Limits beyond the last bucket clamp.
+OUT_BUCKETS = (128, 512)
+MAX_RESULTS = OUT_BUCKETS[-1]
+
 
 @dataclass(frozen=True)
 class SearchStats:
@@ -29,7 +35,11 @@ class SearchStats:
     truncated: bool
 
 
-def _params_for(q_bucket: int) -> SearchParams:
+def _out_bucket_for(limit: int) -> int:
+    return next(b for b in OUT_BUCKETS if b >= min(limit, MAX_RESULTS))
+
+
+def _params_for(q_bucket: int, out_bucket: int = 128) -> SearchParams:
     # The scoring phase sorts P entries per query, so keep the budget tight:
     # typical fingerprint queries scan a few postings per hash; heavier
     # queries report `truncated` (the reference's own per-hash scan caps
@@ -39,10 +49,10 @@ def _params_for(q_bucket: int) -> SearchParams:
         query_len=q_bucket,
         postings_budget=budget,
         per_hash_cap=1024,
-        # C bounds ranked candidates; the API caps limit at 100, and the
+        # C bounds ranked candidates and must cover the output tile; the
         # extra headroom absorbs superseded high-scorers that finish() skips.
-        candidate_cap=256,
-        out_len=128,
+        candidate_cap=256 if out_bucket <= 128 else 2 * out_bucket,
+        out_len=out_bucket,
     )
 
 
@@ -72,13 +82,14 @@ class Searcher:
         snapshot: Snapshot,
         query: Sequence[int],
         options: SearchOptions,
+        deadline: Optional[float] = None,
     ) -> Tuple[List[SearchResult], SearchStats]:
         q, q_len = self.prepare_query(query)
         if q_len == 0 or snapshot.file_view is None or snapshot.mem_view is None:
             return [], SearchStats(0, False)
 
         bucket = next(b for b in QUERY_BUCKETS if b >= q_len)
-        params = _params_for(bucket)
+        params = _params_for(bucket, _out_bucket_for(options.max_results))
         fn = self._fn(params)
 
         padded = np.zeros(bucket, dtype=np.uint32)
@@ -148,14 +159,26 @@ class BatchingSearcher(Searcher):
 
         return functools.partial(search_segments_batch, params)
 
-    def search(self, snapshot: Snapshot, query: Sequence[int], options: SearchOptions):
+    # A follower without a deadline still must not wait forever on a wedged
+    # leader (the API caps timeouts at 10s; legacy sessions may run with
+    # timeout 0 = none).
+    MAX_FOLLOWER_WAIT = 120.0
+
+    def search(
+        self,
+        snapshot: Snapshot,
+        query: Sequence[int],
+        options: SearchOptions,
+        deadline: Optional[float] = None,
+    ):
         q, q_len = self.prepare_query(query)
         if q_len == 0 or snapshot.file_view is None or snapshot.mem_view is None:
             return [], SearchStats(0, False)
         bucket = next(b for b in QUERY_BUCKETS if b >= q_len)
+        out_bucket = _out_bucket_for(options.max_results)
         padded = np.zeros(bucket, dtype=np.uint32)
         padded[:q_len] = q
-        key = (id(snapshot.file_view), id(snapshot.mem_view), bucket)
+        key = (id(snapshot.file_view), id(snapshot.mem_view), bucket, out_bucket)
 
         with self._glock:
             self._active += 1
@@ -177,8 +200,8 @@ class BatchingSearcher(Searcher):
                 # Solo traffic dispatches immediately; real concurrency waits
                 # a moment for followers to coalesce.
                 if concurrency > 1:
-                    deadline = time.monotonic() + self.max_wait
-                    while time.monotonic() < deadline:
+                    wait_until = time.monotonic() + self.max_wait
+                    while time.monotonic() < wait_until:
                         with self._glock:
                             if len(group.requests) >= MAX_BATCH:
                                 break
@@ -187,13 +210,34 @@ class BatchingSearcher(Searcher):
                     group.closed = True
                     if self._groups.get(key) is group:
                         del self._groups[key]
+                # Deadline re-check after the coalesce wait; once dispatched,
+                # the (bounded) device program runs to completion and its
+                # latency does NOT count against the deadline — first-compile
+                # of a cold bucket takes seconds and must not fail requests.
+                expired = deadline is not None and time.monotonic() > deadline
+                # The leader always executes — followers joined this group and
+                # would hang otherwise.
                 try:
-                    group.results = self._run_batch(snapshot, bucket, group.requests)
+                    group.results = self._run_batch(snapshot, bucket, out_bucket, group.requests)
                 except Exception as exc:  # noqa: BLE001 — propagated per-request
                     group.error = exc
                 group.done.set()
+                if expired:
+                    from .errors import SearchTimeout
+
+                    raise SearchTimeout("search deadline expired while coalescing")
             else:
-                group.done.wait()
+                wait = self.MAX_FOLLOWER_WAIT
+                if deadline is not None:
+                    wait = min(wait, max(0.0, deadline - time.monotonic()))
+                if not group.done.wait(timeout=wait):
+                    if deadline is not None and time.monotonic() > deadline:
+                        # Deadline expired while coalesced behind a slow leader.
+                        from .errors import SearchTimeout
+
+                        raise SearchTimeout("search deadline expired while batched")
+                    if not group.done.wait(timeout=self.MAX_FOLLOWER_WAIT):
+                        raise RuntimeError("batched search leader never completed")
             if group.error is not None:
                 raise group.error
             return group.results[idx]
@@ -201,12 +245,10 @@ class BatchingSearcher(Searcher):
             with self._glock:
                 self._active -= 1
 
-    def _run_batch(self, snapshot, bucket, requests):
-        import jax
-
+    def _run_batch(self, snapshot, bucket, out_bucket, requests):
         from ..utils.profiling import trace
 
-        params = _params_for(bucket)
+        params = _params_for(bucket, out_bucket)
         n = len(requests)
         with trace(f"search_batch[{n}]"):
             return self._run_batch_traced(snapshot, params, requests)

@@ -124,17 +124,25 @@ int64_t aitpu_decode_sorted_u32(const uint8_t* in, int64_t in_len, int64_t n, ui
 
 // CRC-32 (zlib polynomial), slice-by-1; used by WAL frame scanning so the
 // native scanner never calls back into Python.
-uint32_t aitpu_crc32(const uint8_t* data, int64_t len, uint32_t seed) {
-    static uint32_t table[256];
-    static bool init = false;
-    if (!init) {
+namespace {
+struct Crc32Table {
+    uint32_t t[256];
+    Crc32Table() {
         for (uint32_t i = 0; i < 256; i++) {
             uint32_t c = i;
             for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-            table[i] = c;
+            t[i] = c;
         }
-        init = true;
     }
+};
+}  // namespace
+
+uint32_t aitpu_crc32(const uint8_t* data, int64_t len, uint32_t seed) {
+    // C++11 function-local static: initialization is synchronized, so
+    // concurrent WAL replays (MultiIndex.open's thread pool) never observe a
+    // half-built table.
+    static const Crc32Table table_holder;
+    const uint32_t* table = table_holder.t;
     uint32_t crc = seed ^ 0xFFFFFFFFu;
     for (int64_t i = 0; i < len; i++) crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
     return crc ^ 0xFFFFFFFFu;

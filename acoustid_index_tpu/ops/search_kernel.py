@@ -209,7 +209,11 @@ def _score_rank(p: SearchParams, d, o, inv, min_score):
     rank_key = jnp.where(cand, jnp.uint32(P) - score.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
     rk, cd, co, csc = jax.lax.sort((rank_key, d, o, score), num_keys=2)
     c_valid = rk[:C] != jnp.uint32(0xFFFFFFFF)
-    return cd[:C], co[:C], csc[:C], c_valid
+    # More candidates reached min_score than C slots: the tail was dropped
+    # before supersession/limit filtering, so results are approximate —
+    # surface it like the per-hash/budget caps do.
+    c_over = jnp.sum(cand.astype(jnp.int32)) > C
+    return cd[:C], co[:C], csc[:C], c_valid, c_over
 
 
 def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_score, pct):
@@ -224,9 +228,10 @@ def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_scor
     best = jnp.max(jnp.where(alive, csc, 0))
     cutoff = jnp.maximum(min_score, best * pct // 100)
     rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    # `limit` is clamped to the padded output width: the HTTP API caps limit
-    # at 100 < out_len, and the legacy protocol's 500 default degrades to
-    # the top out_len rather than overrunning the output tile.
+    # `limit` is clamped to the padded output width; the searcher picks an
+    # out_len bucket covering the requested limit (128 for the HTTP API's
+    # 100-cap, 512 for the legacy protocol's 500 default), so the clamp only
+    # bites on limits beyond every bucket.
     limit_eff = jnp.minimum(limit, jnp.int32(p.out_len))
     keep = jnp.logical_and(alive, jnp.logical_and(csc >= cutoff, rank < limit_eff))
 
@@ -250,8 +255,10 @@ def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_scor
 def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pct):
     """Stage 3-7 for one query with a caller-supplied supersession oracle
     (the sharded path pmaxes it across docid shards)."""
-    cd, co, csc, c_valid = _score_rank(p, d, o, inv, min_score)
-    return _final_select(p, cd, co, csc, c_valid, newest_fn(cd), limit, min_score, pct)
+    cd, co, csc, c_valid, c_over = _score_rank(p, d, o, inv, min_score)
+    out = _final_select(p, cd, co, csc, c_valid, newest_fn(cd), limit, min_score, pct)
+    out["cand_truncated"] = c_over
+    return out
 
 
 def _newest_fn_for(file_tier, mem_tier):
@@ -289,8 +296,8 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
     f_lo, f_cnt, m_lo, m_cnt, trunc = _batch_ranges(p, file_tier, mem_tier, queries, q_lens)
     def rank_query(f_lo1, f_cnt1, m_lo1, m_cnt1, min_score):
         d, o, inv, total, over = _plan_and_gather(p, file_tier, mem_tier, f_lo1, f_cnt1, m_lo1, m_cnt1)
-        cd, co, csc, c_valid = _score_rank(p, d, o, inv, min_score)
-        return cd, co, csc, c_valid, total, over
+        cd, co, csc, c_valid, c_over = _score_rank(p, d, o, inv, min_score)
+        return cd, co, csc, c_valid, total, jnp.logical_or(over, c_over)
 
     cd, co, csc, c_valid, totals, overs = jax.vmap(rank_query)(f_lo, f_cnt, m_lo, m_cnt, min_scores)
 

@@ -227,6 +227,9 @@ def _sharded_search_impl(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
             return jax.lax.pmax(local, AXIS)
 
         out = _score_select(params, S, d_all, o_all, inv_all, newest_fn, limit, min_score, pct)
+        # cand_truncated is computed from the all-gathered hit list, so it is
+        # identical on every shard; fold it into the per-shard flag.
+        truncated = jnp.logical_or(truncated, out.pop("cand_truncated"))
         out["postings_scanned"] = jax.lax.psum(total, AXIS)
         out["truncated"] = jax.lax.psum(truncated.astype(jnp.int32), AXIS) > 0
         return out

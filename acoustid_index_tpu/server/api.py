@@ -39,6 +39,11 @@ def decode_search_request(d: dict) -> dict:
     query = _get(d, "query", "q")
     if query is None or not isinstance(query, list):
         raise errors.BadRequest("query is required")
+    # The reference's msgpack decode rejects non-u32 hashes; do the same
+    # instead of surfacing a numpy conversion error as a 500.
+    for h in query:
+        if not isinstance(h, int) or isinstance(h, bool) or h < 0 or h > 0xFFFFFFFF:
+            raise errors.BadRequest("query hashes must be u32 integers")
     return {
         "query": query,
         "timeout": _get(d, "timeout", "t", DEFAULT_SEARCH_TIMEOUT_MS),

@@ -147,16 +147,21 @@ class App:
     def handle_search(self, req: Request) -> Response:
         d = self._require_body(req, api.decode_search_request)
         # Sanitize untrusted values (the legacy front-end passes trusted ones).
-        limit = max(min(int(d["limit"]), api.MAX_SEARCH_LIMIT), api.MIN_SEARCH_LIMIT)
-        timeout_ms = min(int(d["timeout"]), api.MAX_SEARCH_TIMEOUT_MS)
+        try:
+            limit = max(min(int(d["limit"]), api.MAX_SEARCH_LIMIT), api.MIN_SEARCH_LIMIT)
+            timeout_ms = min(int(d["timeout"]), api.MAX_SEARCH_TIMEOUT_MS)
+            min_score = None if d["min_score"] is None else max(int(d["min_score"]), 0)
+            score_pct = max(min(int(d["score_pct"]), 100), 0)
+        except (TypeError, ValueError):
+            raise errors.BadRequest("limit/timeout/min_score/score_pct must be integers")
         results = self.mi.search(
             req.params["index"],
             SearchRequestParams(
                 query=d["query"],
                 timeout=timeout_ms / 1000.0,
                 limit=limit,
-                min_score=d["min_score"],
-                score_pct=int(d["score_pct"]),
+                min_score=min_score,
+                score_pct=score_pct,
             ),
         )
         ct = response_type(req)

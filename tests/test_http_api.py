@@ -203,6 +203,22 @@ def test_search_limits_sanitized(server, index):
     assert len(r.json()["results"]) == 1  # clamped up to 1
 
 
+def test_search_param_validation(server, index):
+    u = server.url
+    # Non-numeric tuning values are a 400 BadRequest, not a 500.
+    for body in (
+        {"query": [1], "min_score": "abc"},
+        {"query": [1], "score_pct": "xyz"},
+        {"query": [1], "limit": "huge"},
+        {"query": [1, "nope"]},
+        {"query": [1, -5]},
+        {"query": [2**40]},
+    ):
+        r = requests.post(u(f"/{index}/_search"), json=body)
+        assert r.status_code == 400, (body, r.status_code, r.text)
+        assert r.json()["error"] == "BadRequest"
+
+
 def test_missing_index_errors(server):
     u = server.url
     r = requests.post(u("/nosuch/_search"), json={"query": [1]})

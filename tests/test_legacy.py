@@ -113,3 +113,18 @@ def test_bad_inputs(conn):
     assert conn.cmd("insert x 1,2") == "ERR invalid document id"
     assert conn.cmd("insert 1 x,y") == "ERR invalid fingerprint"
     assert conn.cmd("rollback") == "OK "
+
+
+def test_default_max_results_serves_past_128(conn):
+    """Reference legacy sessions default max_results=500 (legacy.zig:44) and
+    serve up to that many results; 200 matching docs must all come back."""
+    assert conn.cmd("get max_results") == "OK 500"
+    assert conn.cmd("begin") == "OK "
+    for i in range(10001, 10201):
+        assert conn.cmd(f"insert {i} 777777") == "OK "
+    assert conn.cmd("commit") == "OK "
+    resp = conn.cmd("search 777777")
+    assert resp.startswith("OK ")
+    pairs = resp[3:].split()
+    assert len(pairs) == 200, len(pairs)
+    assert set(pairs) == {f"{i}:1" for i in range(10001, 10201)}

@@ -72,15 +72,61 @@ def test_concurrent_flush_and_maintenance_checkpoints(tmp_path):
         idx2.close()
 
 
-def test_large_limit_does_not_crash(tmp_path):
-    """limit > out_len (the legacy default is 500) must degrade to the top
-    out_len results, not overrun the output tile."""
+def test_large_limit_served_by_bigger_out_bucket(tmp_path):
+    """limit > 128 (the legacy default is 500) selects the 512-wide output
+    bucket and serves every matching doc (reference legacy sessions return up
+    to max_results, legacy.zig:44)."""
     idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
     try:
         idx.update([Insert(id=i, hashes=[42]) for i in range(1, 300)])
         results, _ = idx.search([42], SearchOptions(max_results=500, min_score=1, min_score_pct=0))
-        assert len(results) == 128  # out_len cap
-        assert [r.id for r in results] == list(range(1, 129))
+        assert [r.id for r in results] == list(range(1, 300))
+        # Beyond every bucket the limit clamps to the largest (512).
+        idx.update([Insert(id=i, hashes=[42]) for i in range(300, 700)])
+        results, _ = idx.search([42], SearchOptions(max_results=5000, min_score=1, min_score_pct=0))
+        assert len(results) == 512
+        assert [r.id for r in results] == list(range(1, 513))
+    finally:
+        idx.close()
+
+
+def test_candidate_cap_overflow_sets_truncated(tmp_path):
+    """More than candidate_cap docs reaching min_score must surface in the
+    `truncated` stat instead of silently dropping ranked tail candidates."""
+    idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
+    try:
+        # 300 docs all score 1 on hash 7: > candidate_cap=256 for the small
+        # out bucket.
+        idx.update([Insert(id=i, hashes=[7]) for i in range(1, 301)])
+        _, stats = idx.search([7], SearchOptions(max_results=10, min_score=1, min_score_pct=0))
+        assert stats.truncated
+        # Under the cap: not truncated.
+        _, stats = idx.search([7], SearchOptions(max_results=500, min_score=1, min_score_pct=0))
+        assert not stats.truncated  # big out bucket has candidate_cap=1024
+    finally:
+        idx.close()
+
+
+def test_deadline_expires_while_batched(tmp_path):
+    """A follower coalesced behind a leader that never finishes gets a
+    SearchTimeout at its deadline, not an indefinite hang."""
+    from acoustid_index_tpu.engine.model import SearchOptions as SO
+    from acoustid_index_tpu.engine.searcher import BatchingSearcher, _BatchGroup
+
+    idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
+    try:
+        idx.update([Insert(id=1, hashes=[1, 2])])
+        s = BatchingSearcher()
+        snap = idx.acquire_reader()
+        key = (id(snap.file_view), id(snap.mem_view), 64, 128)
+        wedged = _BatchGroup(key)
+        wedged.requests.append(object())  # a leader that never completes
+        s._groups[key] = wedged
+
+        t0 = time.monotonic()
+        with pytest.raises(errors.SearchTimeout):
+            s.search(snap, [1, 2], SO(), deadline=time.monotonic() + 0.2)
+        assert time.monotonic() - t0 < 5.0
     finally:
         idx.close()
 
@@ -108,3 +154,38 @@ def test_model_ingest_rejects_doc_zero():
     m = FingerprintSearchModel()
     with pytest.raises(ValueError):
         m.ingest(np.array([1, 2], np.uint32), np.array([0, 1], np.uint32))
+
+
+def test_coordinator_read_is_sliced_not_scanned():
+    """read/read_meta are O(batch) via dense-seq slicing; correctness across
+    retention truncation, and a 100k-op lineage stays fast."""
+    from acoustid_index_tpu.cluster.coordinator import MemoryCoordinator
+    from acoustid_index_tpu.engine.model import Insert
+
+    c = MemoryCoordinator()
+    gen = c.create_index("idx")
+    changes = [Insert(id=i, hashes=[i]) for i in range(1, 100_001)]
+    for lo in range(0, 100_000, 10_000):
+        c.append("idx", gen, changes[lo : lo + 10_000], expected=lo)
+
+    t0 = time.monotonic()
+    for after in (0, 1, 49_999, 99_990, 100_000):
+        out = c.read("idx", gen, after, 64, deadline=time.monotonic() + 0.01 if after == 100_000 else time.monotonic() + 5)
+        if after == 100_000:
+            assert out == []
+        else:
+            assert out[0].id == after + 1
+            assert len(out) == min(64, 100_000 - after)
+    assert time.monotonic() - t0 < 2.0  # slicing, not scanning
+
+    # Truncate and keep exactness: below floor raises, above slices correctly.
+    c.set_retention_floor("idx", gen, 60_000)
+    out = c.read("idx", gen, 60_000, 10, deadline=time.monotonic() + 5)
+    assert [e.id for e in out] == list(range(60_001, 60_011))
+    with pytest.raises(errors.BelowRetention):
+        c.read("idx", gen, 59_999, 10, deadline=time.monotonic() + 5)
+
+    # Meta feed slices by pos too.
+    c.create_index("other")
+    ops = c.read_meta(1, 10, deadline=time.monotonic() + 5)
+    assert [op.pos for op in ops] == [2]
