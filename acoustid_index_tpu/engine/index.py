@@ -171,6 +171,7 @@ class Index:
         oplog.last_commit_id = commit_id
         oplog.last_version = version
 
+        searcher = searcher or default_searcher()
         snapshot = Snapshot(
             file=tuple(file_segments),
             memory=tuple(memory_segments),
@@ -179,8 +180,8 @@ class Index:
             version=version,
             file_version=file_version,
             external_versions=state["external"],
-            file_view=pack_tier(file_segments, FILE_SLOTS),
-            mem_view=pack_tier(memory_segments, MEMORY_SLOTS),
+            file_view=searcher.pack_file_tier(file_segments),
+            mem_view=searcher.pack_mem_tier(memory_segments),
         )
         return cls(path, oplog, snapshot, checkpoint_threshold, checkpoint_age, searcher)
 
@@ -287,7 +288,7 @@ class Index:
                 file_version=self.file_version,
                 external_versions=self.external_versions,
                 file_view=cur.file_view,  # shared: the write never touches the big buffer
-                mem_view=pack_tier(new_memory, MEMORY_SLOTS),
+                mem_view=self.searcher.pack_mem_tier(new_memory),
             )
             self._swap(snap)
             self._wake.set()
@@ -333,7 +334,7 @@ class Index:
             file_version=self.file_version,
             external_versions=self.external_versions,
             file_view=cur.file_view,
-            mem_view=pack_tier(new_memory, MEMORY_SLOTS),
+            mem_view=self.searcher.pack_mem_tier(new_memory),
         )
         self._swap(snap)
         metrics.inc_memory_merges()
@@ -387,8 +388,8 @@ class Index:
                 version=self.version,
                 file_version=max(self.file_version, fseg.info.effective_version()),
                 external_versions=self.external_versions,
-                file_view=pack_tier(new_file, FILE_SLOTS),
-                mem_view=pack_tier(kept, MEMORY_SLOTS),
+                file_view=self.searcher.pack_file_tier(new_file),
+                mem_view=self.searcher.pack_mem_tier(kept),
             )
             manifest.write_manifest(self.data_dir, [s.info for s in new_file])  # COMMIT
             self._swap(snap)
@@ -433,7 +434,7 @@ class Index:
                 version=self.version,
                 file_version=self.file_version,
                 external_versions=self.external_versions,
-                file_view=pack_tier(new_file, FILE_SLOTS),
+                file_view=self.searcher.pack_file_tier(new_file),
                 mem_view=latest.mem_view,
             )
             manifest.write_manifest(self.data_dir, [s.info for s in new_file])  # COMMIT

@@ -57,11 +57,28 @@ def _params_for(q_bucket: int, out_bucket: int = 128) -> SearchParams:
 
 
 class Searcher:
-    """Owns compiled search programs, keyed by static params."""
+    """Owns compiled search programs, keyed by static params.
+
+    The searcher also owns the device LAYOUT of segment views: the engine
+    calls pack_file_tier/pack_mem_tier whenever a tier's segment set changes
+    (file tier only at checkpoint/merge; memory tier per write), so a
+    mesh-sharded searcher can substitute hash-range-sharded views without
+    the engine knowing — and view sharing across snapshots (update() reuses
+    cur.file_view) makes the sharded file view incremental for free."""
 
     def __init__(self):
         self._fns: Dict[SearchParams, object] = {}
         self._lock = threading.Lock()
+
+    def pack_file_tier(self, segments) -> Dict:
+        from .segments import FILE_SLOTS, pack_tier
+
+        return pack_tier(segments, FILE_SLOTS)
+
+    def pack_mem_tier(self, segments) -> Dict:
+        from .segments import MEMORY_SLOTS, pack_tier
+
+        return pack_tier(segments, MEMORY_SLOTS)
 
     def _fn(self, params: SearchParams):
         with self._lock:

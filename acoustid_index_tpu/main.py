@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--peers", default=None, help="Comma-separated peer base URLs (snapshot donors)")
     p.add_argument("--bootstrap-timeout-ms", type=int, default=1_800_000, help="0 disables")
     p.add_argument("--profile-port", type=int, default=0, help="XLA profiler gRPC port (0 = off)")
+    p.add_argument(
+        "--mesh-shards",
+        type=int,
+        default=0,
+        help="Serve search hash-range-sharded over an N-device mesh (0 = single device)",
+    )
     return p
 
 
@@ -40,12 +46,20 @@ def run_server(args) -> None:
 
         start_profiler_server(args.profile_port)
 
+    searcher = None
+    if args.mesh_shards:
+        from .parallel.serving import ShardedBatchingSearcher
+
+        searcher = ShardedBatchingSearcher(n_shards=args.mesh_shards)
+        logging.info("search sharded over %d devices", searcher.n_shards)
+
     mi = MultiIndex.open(
         args.dir,
         checkpoint_threshold=args.checkpoint_threshold,
         checkpoint_age=(args.checkpoint_age_ms / 1000.0) if args.checkpoint_age_ms else None,
         sync=args.coordinator_url is None,  # upstream owns durability in cluster mode
         load_concurrency=args.load_concurrency or None,
+        searcher=searcher,
     )
 
     replicator = None

@@ -1,0 +1,88 @@
+"""Mesh-sharded serving: a drop-in Searcher that packs segment views by
+hash range across a TPU mesh and runs the batched sharded search program.
+
+This is the scale-out axis the reference lacks (it is single-node by design,
+/root/reference/README.md:100-105); SURVEY.md §7 stage 4.  The engine stays
+oblivious: Index routes view packing through its Searcher, so
+
+  * the FILE tier's sharded view rebuilds only at checkpoint/merge and is
+    shared by reference across write snapshots (incremental by construction,
+    same as the single-chip view);
+  * the MEMORY tier repacks per write batch (bounded by the checkpoint
+    threshold), host-partitioned by hash range and re-placed on the mesh;
+  * search coalesces concurrent requests exactly like BatchingSearcher and
+    dispatches ONE sharded program for the whole batch.
+
+Scores are exact across shards (all_gather'd hit lists + pmax'd supersession
+— see sharded.sharded_search_batch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..engine.searcher import (
+    BATCH_SIZES,
+    BatchingSearcher,
+    _params_for,
+)
+from ..engine.segments import FILE_SLOTS, MEMORY_SLOTS, SEARCH_TIER_FIELDS, slot_bucket
+from .sharded import AXIS, _pack_tier_sharded, make_mesh, sharded_search_batch
+
+
+class ShardedBatchingSearcher(BatchingSearcher):
+    """BatchingSearcher whose device views are hash-range sharded over a
+    mesh and whose batch program is the sharded search."""
+
+    def __init__(self, mesh=None, n_shards: Optional[int] = None, max_wait: float = 0.002):
+        super().__init__(max_wait=max_wait)
+        self.mesh = mesh if mesh is not None else make_mesh(n_shards)
+        self.n_shards = int(self.mesh.devices.size)
+
+    # ---- view packing (called by the engine on tier changes) ----
+
+    def _pack(self, segments: Sequence, slots: int) -> Dict:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        view_np = _pack_tier_sharded(
+            segments, self.n_shards, slot_bucket(len(segments), slots)
+        )
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        return {k: jax.device_put(v, sharding) for k, v in view_np.items()}
+
+    def pack_file_tier(self, segments) -> Dict:
+        return self._pack(segments, FILE_SLOTS)
+
+    def pack_mem_tier(self, segments) -> Dict:
+        return self._pack(segments, MEMORY_SLOTS)
+
+    # ---- batch execution ----
+
+    def _run_batch_traced(self, snapshot, params, requests):
+        import jax
+
+        n = len(requests)
+        b = next(x for x in BATCH_SIZES if x >= n)
+        qs = np.zeros((b, params.query_len), np.uint32)
+        lens = np.zeros(b, np.int32)
+        limits = np.ones(b, np.int32)
+        min_scores = np.zeros(b, np.int32)
+        pcts = np.zeros(b, np.int32)
+        for i, (padded, q_len, options) in enumerate(requests):
+            qs[i] = padded
+            lens[i] = q_len
+            limits[i] = options.max_results
+            min_scores[i] = options.min_score
+            pcts[i] = options.min_score_pct
+
+        fview = {k: snapshot.file_view[k] for k in SEARCH_TIER_FIELDS}
+        mview = {k: snapshot.mem_view[k] for k in SEARCH_TIER_FIELDS}
+        out = jax.device_get(
+            sharded_search_batch(
+                params, self.mesh, fview, mview, qs, lens, limits, min_scores, pcts
+            )
+        )
+        return [self._materialize({k: v[i] for k, v in out.items()}) for i in range(n)]

@@ -33,9 +33,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.search_kernel import (
     SearchParams,
+    _batch_newest,
     _batch_ranges,
+    _final_select,
     _plan_and_gather,
-    _score_select,
+    _score_rank,
     tier_newest_ord,
 )
 from ..ops.pallas_lookup import BLOCK
@@ -189,49 +191,60 @@ def _tier_spec(tier) -> Dict[str, P]:
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _sharded_search_impl(params: SearchParams, mesh: Mesh, file_tier, mem_tier, query, q_len, limit, min_score, pct):
-    S = file_tier["seg_start"].shape[-1] + mem_tier["seg_start"].shape[-1]
+def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):
+    """(B, Q) batched hash-range-sharded search — the serving path.
 
-    def shard_fn(file_t, mem_t, query, q_len, limit, min_score, pct):
+    Per shard: one range phase for the whole batch (Pallas blocked lookup on
+    big shards), plan+gather vmapped per query, then the per-query hit lists
+    all-gather over ICI (B * P * 12 bytes per shard) and every shard scores
+    the combined stream identically — bitwise the same scoring pipeline as
+    the single-chip kernel, so scores are EXACT.  Supersession runs once for
+    the whole batch's candidate stream against the local docid-range mention
+    shard and pmaxes across shards."""
+
+    def shard_fn(file_t, mem_t, queries, q_lens, limits, min_scores, pcts):
         # Leading shard dim of size 1 inside the shard -> squeeze.
         file_t = {k: v[0] for k, v in file_t.items()}
         mem_t = {k: v[0] for k, v in mem_t.items()}
         f_search = {k: v for k, v in file_t.items() if k != "docs_alive"}
         m_search = {k: v for k, v in mem_t.items() if k != "docs_alive"}
 
-        # Local hit-list over this shard's hash range.  _batch_ranges
-        # auto-selects the Pallas blocked lookup for big shards and the XLA
-        # bounded search for small ones (e.g. dryrun shapes).
+        # Local hit-lists over this shard's hash range, whole batch at once.
         f_lo, f_cnt, m_lo, m_cnt, r_trunc = _batch_ranges(
-            params, f_search, m_search, query[None, :], q_len[None]
+            params, f_search, m_search, queries, q_lens
         )
-        d, o, inv, total, over = _plan_and_gather(
-            params, f_search, m_search, f_lo[0], f_cnt[0], m_lo[0], m_cnt[0]
+
+        def plan_one(f_lo1, f_cnt1, m_lo1, m_cnt1):
+            return _plan_and_gather(params, f_search, m_search, f_lo1, f_cnt1, m_lo1, m_cnt1)
+
+        d, o, inv, totals, overs = jax.vmap(plan_one)(f_lo, f_cnt, m_lo, m_cnt)
+
+        # Exact cross-shard combine: concatenate every shard's hit list along
+        # the postings axis.  Ordinals are global (every shard packs the same
+        # segment set, partitioned by hash), so the combined stream scores
+        # exactly like a single-chip stream of the union.
+        d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
+        o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
+        inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
+
+        def rank_one(d1, o1, inv1, min_score):
+            return _score_rank(params, d1, o1, inv1, min_score)
+
+        cd, co, csc, c_valid, c_over = jax.vmap(rank_one)(d_all, o_all, inv_all, min_scores)
+
+        # Supersession: each candidate doc lives in exactly one docid-range
+        # shard; the blocked mention lookup answers locally, pmax combines.
+        local = _batch_newest(f_search, m_search, cd.reshape(-1), c_valid.reshape(-1))
+        newest = jax.lax.pmax(local, AXIS).reshape(cd.shape)
+
+        out = jax.vmap(lambda *a: _final_select(params, *a))(
+            cd, co, csc, c_valid, newest, limits, min_scores, pcts
         )
-        truncated = jnp.logical_or(r_trunc, over)
-
-        # Exact cross-shard combine: concatenate every shard's hit list
-        # (tiny: P * 12 bytes per shard) and score identically everywhere.
-        d_all = jax.lax.all_gather(d, AXIS, tiled=True)
-        o_all = jax.lax.all_gather(o, AXIS, tiled=True)
-        inv_all = jax.lax.all_gather(inv, AXIS, tiled=True)
-
-        S_F = f_search["seg_start"].shape[0]
-
-        def newest_fn(cand_ids):
-            f = tier_newest_ord(f_search, cand_ids)
-            m = tier_newest_ord(m_search, cand_ids)
-            local = jnp.maximum(f, jnp.where(m >= 0, m + S_F, -1))
-            # Each candidate doc lives in exactly one docid shard; pmax
-            # combines the per-shard answers exactly.
-            return jax.lax.pmax(local, AXIS)
-
-        out = _score_select(params, S, d_all, o_all, inv_all, newest_fn, limit, min_score, pct)
-        # cand_truncated is computed from the all-gathered hit list, so it is
-        # identical on every shard; fold it into the per-shard flag.
-        truncated = jnp.logical_or(truncated, out.pop("cand_truncated"))
-        out["postings_scanned"] = jax.lax.psum(total, AXIS)
-        out["truncated"] = jax.lax.psum(truncated.astype(jnp.int32), AXIS) > 0
+        shard_trunc = jnp.logical_or(r_trunc, overs)  # (B,) per query
+        out["postings_scanned"] = jax.lax.psum(totals, AXIS)
+        out["truncated"] = jnp.logical_or(
+            jax.lax.psum(shard_trunc.astype(jnp.int32), AXIS) > 0, c_over
+        )
         return out
 
     return jax.shard_map(
@@ -240,7 +253,7 @@ def _sharded_search_impl(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         in_specs=(_tier_spec(file_tier), _tier_spec(mem_tier), P(), P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
-    )(file_tier, mem_tier, query, q_len, limit, min_score, pct)
+    )(file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts)
 
 
 def sharded_search(
@@ -253,17 +266,19 @@ def sharded_search(
     min_score: int,
     pct: int,
 ):
-    return _sharded_search_impl(
+    """Single-query wrapper over the batched program (tests / dryrun)."""
+    out = sharded_search_batch(
         params,
         mesh,
         view.file_tier,
         view.mem_tier,
-        jnp.asarray(query, jnp.uint32),
-        jnp.int32(q_len),
-        jnp.int32(limit),
-        jnp.int32(min_score),
-        jnp.int32(pct),
+        jnp.asarray(query, jnp.uint32)[None, :],
+        jnp.full((1,), q_len, jnp.int32),
+        jnp.full((1,), limit, jnp.int32),
+        jnp.full((1,), min_score, jnp.int32),
+        jnp.full((1,), pct, jnp.int32),
     )
+    return {k: v[0] for k, v in out.items()}
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
