@@ -364,8 +364,11 @@ class Index:
             return False
 
         # Merge outside the write lock; updates keep flowing (they append to
-        # the memory suffix; the flushed prefix is stable).
-        fseg = merge_segments(cur.memory, cur)
+        # the memory suffix; the flushed prefix is stable).  Big flushes run
+        # the device merge sort (segment_merger.zig's job, TPU-shaped).
+        from .device_merge import merge_segments_auto
+
+        fseg = merge_segments_auto(cur.memory, cur)
         filefmt.write_segment(self.data_dir, fseg)
 
         with self._write_lock:
@@ -418,7 +421,9 @@ class Index:
             return False
 
         retired = cur.file[lo:hi]
-        fseg = merge_segments(retired, cur)
+        from .device_merge import merge_segments_auto
+
+        fseg = merge_segments_auto(retired, cur)
         filefmt.write_segment(self.data_dir, fseg)
 
         with self._write_lock:

@@ -72,3 +72,90 @@ def test_device_merge_matches_host_merger():
     assert n_docs == want.num_docs
     assert np.array_equal(np.asarray(did)[:n_docs], want.docs_ids)
     assert np.array_equal(np.asarray(dalive)[:n_docs].astype(bool), want.docs_alive)
+
+
+def _segments_equal(a, b):
+    assert a.info == b.info
+    assert np.array_equal(a.hashes, b.hashes)
+    assert np.array_equal(a.docids, b.docids)
+    assert np.array_equal(a.docs_ids, b.docs_ids)
+    assert np.array_equal(a.docs_alive, b.docs_alive)
+    assert (a.min_doc_id, a.max_doc_id) == (b.min_doc_id, b.max_doc_id)
+    assert dict(a.metadata) == dict(b.metadata)
+
+
+def test_engine_device_merge_matches_host_bit_for_bit():
+    """merge_segments_device == merge_segments including OUTSIDE-run
+    supersession: docs rewritten/deleted in segments newer than the merged
+    run must be dropped by both paths."""
+    from acoustid_index_tpu.engine.device_merge import merge_segments_device
+
+    rng = np.random.default_rng(3)
+    segs = []
+    for commit in range(1, 6):
+        docs = {
+            int(rng.integers(1, 80)): rng.integers(0, 5000, int(rng.integers(1, 10)), dtype=np.uint32).tolist()
+            for _ in range(int(rng.integers(3, 12)))
+        }
+        deletes = [int(x) for x in rng.integers(1, 80, 2) if int(x) not in docs]
+        segs.append(
+            build_segment(
+                [Insert(id=i, hashes=h) for i, h in docs.items()] + [Delete(id=i) for i in deletes],
+                SegmentInfo(commit_id=commit),
+            )
+        )
+    # Merge only the first 3; segments 4-5 stay outside the run and shadow.
+    collection = Snapshot(file=tuple(segs), memory=())
+    run = segs[:3]
+    want = merge_segments(run, collection)
+    got = merge_segments_device(run, collection)
+    _segments_equal(got, want)
+
+
+def test_checkpoint_runs_device_merge_and_matches(tmp_path, monkeypatch):
+    """An Index checkpoint above the device threshold runs the device merge
+    and produces the same file segment as the host path."""
+    from acoustid_index_tpu.engine import device_merge
+    from acoustid_index_tpu.engine.index import Index
+
+    calls = {"device": 0}
+    orig = device_merge.merge_segments_device
+
+    def spy(sources, collection):
+        calls["device"] += 1
+        return orig(sources, collection)
+
+    monkeypatch.setattr(device_merge, "DEVICE_MERGE_MIN_POSTINGS", 100)
+    monkeypatch.setattr(device_merge, "merge_segments_device", spy)
+
+    rng = np.random.default_rng(4)
+    all_changes = []
+    idx = Index.open(str(tmp_path / "dev"), checkpoint_age=None)
+    try:
+        for batch in range(3):
+            changes = [
+                Insert(
+                    id=batch * 30 + i,
+                    hashes=rng.integers(0, 2**32, 8, dtype=np.uint32).tolist(),
+                )
+                for i in range(1, 31)
+            ]
+            all_changes.append(changes)
+            idx.update(changes)
+        assert idx.checkpoint(force=True)
+        assert calls["device"] == 1
+        dev_seg = idx.acquire_reader().file[0]
+    finally:
+        idx.close()
+
+    # Host reference: same batches, threshold too high for the device path.
+    monkeypatch.setattr(device_merge, "DEVICE_MERGE_MIN_POSTINGS", 10**12)
+    idx2 = Index.open(str(tmp_path / "host"), checkpoint_age=None)
+    try:
+        for changes in all_changes:
+            idx2.update(changes)
+        assert idx2.checkpoint(force=True)
+        host_seg = idx2.acquire_reader().file[0]
+    finally:
+        idx2.close()
+    _segments_equal(dev_seg, host_seg)

@@ -76,3 +76,83 @@ def test_pallas_path_matches_oracle():
             want.append((d, s))
         assert got == want, (trial, got[:5], want[:5])
         assert got and got[0][0] == t
+
+
+def test_pallas_path_randomized_multisegment_with_supersession():
+    """Randomized parity at blocked-path scale with the full engine
+    semantics: multiple file segments, re-inserts and deletes in a newer
+    memory segment (supersession + tombstones), vs the literal oracle."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle import OracleSegment, oracle_search
+
+    from acoustid_index_tpu.engine.model import Delete
+
+    rng = np.random.default_rng(31)
+    n_docs = 3500
+    hashes_per_doc = 24
+    doc_hashes = {
+        i: rng.integers(0, 2**32, hashes_per_doc, dtype=np.uint32).tolist()
+        for i in range(1, n_docs + 1)
+    }
+    half = n_docs // 2
+    f1 = build_segment(
+        [Insert(id=i, hashes=doc_hashes[i]) for i in range(1, half + 1)],
+        SegmentInfo(commit_id=1),
+    )
+    f2 = build_segment(
+        [Insert(id=i, hashes=doc_hashes[i]) for i in range(half + 1, n_docs + 1)],
+        SegmentInfo(commit_id=2),
+    )
+    # Memory segment: re-insert 60 docs with NEW hashes, delete 40 others.
+    re_ids = rng.choice(np.arange(1, n_docs + 1), 60, replace=False)
+    del_ids = [int(i) for i in rng.choice(np.arange(1, n_docs + 1), 40, replace=False) if i not in set(re_ids.tolist())]
+    changes = []
+    for i in re_ids:
+        doc_hashes[int(i)] = rng.integers(0, 2**32, hashes_per_doc, dtype=np.uint32).tolist()
+        changes.append(Insert(id=int(i), hashes=doc_hashes[int(i)]))
+    changes += [Delete(id=i) for i in del_ids]
+    m1 = build_segment(changes, SegmentInfo(commit_id=3))
+
+    segs = [f1, f2, m1]
+    snap = Snapshot(
+        file=(f1, f2),
+        memory=(m1,),
+        file_view=pack_tier([f1, f2], FILE_SLOTS),
+        mem_view=pack_tier([m1], MEMORY_SLOTS),
+    )
+    assert snap.file_view["hashes"].shape[0] >= 64 * BLOCK  # pallas gating
+
+    oracle_segs = [
+        OracleSegment(
+            list(zip(s.hashes.tolist(), s.docids.tolist())),
+            dict(zip(s.docs_ids.tolist(), s.docs_alive.tolist())),
+        )
+        for s in segs
+    ]
+
+    searcher = Searcher()
+    targets = (
+        [int(i) for i in re_ids[:3]]
+        + del_ids[:3]
+        + [int(rng.integers(1, n_docs + 1)) for _ in range(6)]
+    )
+    for t in targets:
+        q = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(doc_hashes[t][:16], np.uint32),
+                    rng.integers(0, 2**32, 5, dtype=np.uint32),
+                ]
+            )
+        )
+        got, _ = searcher.search(
+            snap, q.tolist(), SearchOptions(max_results=15, min_score=1, min_score_pct=10)
+        )
+        got = [(r.id, r.score) for r in got]
+        want = oracle_search(oracle_segs, q.tolist(), limit=15, min_score=1, pct=10)
+        assert got == want, (t, got[:5], want[:5])
+        if t not in del_ids:
+            assert got and got[0][0] == t
+        else:
+            assert all(d != t for d, _ in got)
