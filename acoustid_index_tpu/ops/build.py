@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .binsearch import member_count
+from .binsearch import lower_bound
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -59,6 +59,7 @@ def merge_postings_live(
     Returns (hashes', docids', n_postings, docs_ids', docs_alive', n_docs)
     in the same padded shapes.
     """
+
     cap = hashes.shape[0]
     S = seg_start.shape[0]
     n_total = jnp.sum(seg_len)
@@ -69,23 +70,11 @@ def merge_postings_live(
     ordinal = jnp.searchsorted(bounds, pos, side="right").astype(jnp.int32)
     in_range = pos < n_total
 
-    # Drop a posting iff a newer segment in the run mentions its doc
-    # (segment_merger.zig's skip_docs / hasNewerCommit rule).
-    mentioned = (
-        member_count(docs_ids, docids[:, None], docs_start[None, :], docs_len[None, :])
-        > 0
-    )  # (CAP, S)
-    newer = jnp.arange(S, dtype=jnp.int32)[None, :] > ordinal[:, None]
-    dead = jnp.any(jnp.logical_and(mentioned, newer), axis=1)
-    keep = jnp.logical_and(in_range, jnp.logical_not(dead))
-
-    inv = jnp.logical_not(keep).astype(jnp.int32)
-    h = jnp.where(keep, hashes, SENTINEL)
-    d = jnp.where(keep, docids, SENTINEL)
-    _, h, d = jax.lax.sort((inv, h, d), num_keys=3)
-    n_kept = jnp.sum(keep.astype(jnp.int32))
-
-    # Mentioned-docs map: newest (id, ordinal) wins; tombstones survive.
+    # Mentioned-docs map first: newest (id, ordinal) wins; tombstones
+    # survive.  The merged table also answers the posting skip rule below
+    # with ONE binary search per posting (newest mention ordinal > posting
+    # ordinal <=> a newer in-run segment mentions the doc) — O(CAP log D)
+    # instead of the naive O(CAP * S log) per-segment membership scan.
     dcap = docs_ids.shape[0]
     dpos = jnp.arange(dcap, dtype=jnp.int32)
     dbounds = jnp.cumsum(docs_len)
@@ -107,7 +96,25 @@ def merge_postings_live(
     )
     linv = jnp.logical_not(is_last).astype(jnp.int32)
     out_id = jnp.where(is_last, did, SENTINEL)
-    _, out_id, out_alive = jax.lax.sort((linv, out_id, dalive), num_keys=2)
+    _, out_id, out_alive, out_ord = jax.lax.sort((linv, out_id, dalive, dord2), num_keys=2)
     n_docs = jnp.sum(is_last.astype(jnp.int32))
+
+    # Drop a posting iff a newer segment in the run mentions its doc
+    # (segment_merger.zig's skip_docs / hasNewerCommit rule): every posting's
+    # doc is mentioned by its own segment, so its merged-table entry exists
+    # and carries the NEWEST in-run mention ordinal.
+    loc = lower_bound(out_id, docids, jnp.int32(0), n_docs)
+    loc_c = jnp.clip(loc, 0, dcap - 1)
+    newest = jnp.where(
+        jnp.logical_and(loc < n_docs, out_id[loc_c] == docids), out_ord[loc_c], -1
+    )
+    dead = newest > ordinal
+    keep = jnp.logical_and(in_range, jnp.logical_not(dead))
+
+    inv = jnp.logical_not(keep).astype(jnp.int32)
+    h = jnp.where(keep, hashes, SENTINEL)
+    d = jnp.where(keep, docids, SENTINEL)
+    _, h, d = jax.lax.sort((inv, h, d), num_keys=3)
+    n_kept = jnp.sum(keep.astype(jnp.int32))
 
     return h, d, n_kept, out_id, out_alive, n_docs

@@ -1,33 +1,47 @@
-"""Headline benchmark: batched search QPS over a 10M-fingerprint index on
-one chip.
+"""Headline benchmark: batched search over a 10M-fingerprint index, one chip.
 
-Builds a 10M-doc term table (24 hashes/doc, 240M postings, ~1.9GB) directly
-on device with a device sort — the bulk-ingest path — then measures warm
-batched-search throughput and latency with realistic queries (a target
-doc's hashes with 20% noise, matching the fingerprint-lookup workload the
-reference serves).
+Three phases:
+  1. PARITY GATE — a randomized multi-segment table big enough to engage the
+     Pallas blocked lookup runs compiled on the real device and must match
+     the host oracle exactly before anything is measured.
+  2. KERNEL — builds a 10M-doc term table (24 hashes/doc, 240M postings,
+     ~1.9GB) directly on device and measures warm batched-search throughput
+     with realistic ~120-hash queries (a target doc's hashes plus noise —
+     the fingerprint-lookup workload; SURVEY §6: min_score ceil(|q|/20)
+     implies ~100+ hash queries) using the SERVING SearchParams for that
+     query bucket.
+  3. E2E — drives the real serving path: bulk ingest through Index.update
+     (WAL + memory packing + device-merge checkpoint), then concurrent
+     threads searching through the BatchingSearcher with serving defaults.
+     Scaled to E2E_DOCS (default 2M; QPS was measured scale-flat 10M->134M
+     in round 1, see README).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-vs_baseline: the reference publishes no benchmark numbers (BASELINE.md) —
-its implicit baseline is a single-node CPU binary.  We pin an estimate of
-2,000 QPS for fpindex on a modern server at 10M fingerprints (SIMD block
-decode, ~120-hash queries, per-hash scan bounds) and report the ratio
-against it; BASELINE.json's target is >=10x at 100M on a v5e-8.
+vs_baseline is an ESTIMATE-vs-estimate ratio: the reference publishes no
+benchmark numbers at all (BASELINE.md — no benchmarks/ dir, no perf CI, and
+zig is not available in this environment to measure it).  We pin a generous
+2,000 QPS estimate for fpindex on a modern server at 10M fingerprints (SIMD
+block decode, ~120-hash queries, per-hash scan bounds) purely to give the
+ratio a denominator; the absolute numbers are the measurement.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_QPS_ESTIMATE = 2000.0
+REFERENCE_QPS_ESTIMATE = 2000.0  # estimate only — see module docstring
 
 N_DOCS = 10_000_000
 HASHES_PER_DOC = 24
+NOISE_HASHES = 100  # query = 20 target hashes + noise -> ~120-hash queries
 BATCH = 256
-QUERY_LEN = 64
 ROUNDS = 12
+E2E_DOCS = int(os.environ.get("AITPU_BENCH_E2E_DOCS", 2_000_000))
+E2E_THREADS = 64
+E2E_SECONDS = float(os.environ.get("AITPU_BENCH_E2E_SECONDS", 20.0))
 
 
 def doc_hashes(ids: np.ndarray, n: int) -> np.ndarray:
@@ -43,20 +57,80 @@ def doc_hashes(ids: np.ndarray, n: int) -> np.ndarray:
     return h.astype(np.uint32)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def parity_gate():
+    """Compiled-on-device blocked-path parity vs the literal host count.
+    The CPU test suite runs the Pallas kernels in interpret mode; this gate
+    is the only place the real lowering is validated before measurement."""
+    from acoustid_index_tpu.engine.memseg import build_segment
+    from acoustid_index_tpu.engine.model import Delete, Insert, SearchOptions, SegmentInfo
+    from acoustid_index_tpu.engine.searcher import Searcher
+    from acoustid_index_tpu.engine.segments import FILE_SLOTS, MEMORY_SLOTS, Snapshot, pack_tier
+    from acoustid_index_tpu.ops.pallas_lookup import BLOCK
 
+    rng = np.random.default_rng(77)
+    n_docs, per_doc = 4000, 24
+    dh = {i: rng.integers(0, 2**32, per_doc, dtype=np.uint32).tolist() for i in range(1, n_docs + 1)}
+    half = n_docs // 2
+    f1 = build_segment([Insert(id=i, hashes=dh[i]) for i in range(1, half + 1)], SegmentInfo(commit_id=1))
+    f2 = build_segment([Insert(id=i, hashes=dh[i]) for i in range(half + 1, n_docs + 1)], SegmentInfo(commit_id=2))
+    redo = [1, 7, 3999]
+    changes = []
+    for i in redo:
+        dh[i] = rng.integers(0, 2**32, per_doc, dtype=np.uint32).tolist()
+        changes.append(Insert(id=i, hashes=dh[i]))
+    changes.append(Delete(id=42))
+    m1 = build_segment(changes, SegmentInfo(commit_id=3))
+    snap = Snapshot(
+        file=(f1, f2),
+        memory=(m1,),
+        file_view=pack_tier([f1, f2], FILE_SLOTS),
+        mem_view=pack_tier([m1], MEMORY_SLOTS),
+    )
+    assert snap.file_view["hashes"].shape[0] >= 64 * BLOCK, "parity table too small to engage Pallas"
+
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle import OracleSegment, oracle_search
+
+    oracle_segs = [
+        OracleSegment(
+            list(zip(s.hashes.tolist(), s.docids.tolist())),
+            dict(zip(s.docs_ids.tolist(), s.docs_alive.tolist())),
+        )
+        for s in (f1, f2, m1)
+    ]
+    searcher = Searcher()
+    for t in (1, 7, 42, 100, 2000, 3999):
+        q = np.unique(
+            np.concatenate([np.asarray(dh[t][:20], np.uint32), rng.integers(0, 2**32, 100, dtype=np.uint32)])
+        )
+        got, _ = searcher.search(snap, q.tolist(), SearchOptions(max_results=15, min_score=2, min_score_pct=10))
+        got = [(r.id, r.score) for r in got]
+        want = oracle_search(oracle_segs, q.tolist(), limit=15, min_score=2, pct=10)
+        assert got == want, f"PARITY FAILURE target={t}: {got[:5]} != {want[:5]}"
+    return True
+
+
+def make_queries(rng, batch, query_len, n_docs):
+    targets = rng.integers(1, n_docs + 1, batch, dtype=np.uint32)
+    qs = np.zeros((batch, query_len), np.uint32)
+    lens = np.zeros(batch, np.int32)
+    for b, t in enumerate(targets):
+        hs = doc_hashes(np.array([t], np.uint32), HASHES_PER_DOC)[0]
+        noise = rng.integers(0, 2**32, NOISE_HASHES, dtype=np.uint32)
+        q = np.unique(np.concatenate([hs[:20], noise]))[:query_len]
+        qs[b, : q.shape[0]] = q
+        lens[b] = q.shape[0]
+    return targets, qs, lens
+
+
+def kernel_bench(jax, jnp):
+    from acoustid_index_tpu.engine.searcher import _params_for
     from acoustid_index_tpu.ops.build import sort_postings
-    from acoustid_index_tpu.ops.search_kernel import SearchParams, search_segments_batch
+    from acoustid_index_tpu.ops.search_kernel import search_segments_batch
 
-    FILE_SLOTS = 1  # fully-merged index: the kernel's range work scales with slots
-    MEMORY_SLOTS = 1
-
-    dev = jax.devices()[0]
     rng = np.random.default_rng(7)
-
-    # ---- build the term table on device ----
     t0 = time.time()
     ids_host = np.arange(1, N_DOCS + 1, dtype=np.uint32)
 
@@ -91,8 +165,8 @@ def main():
         "hashes": hashes_padded,
         "docids": pad(d_sorted, cap, jnp.uint32(0xFFFFFFFF)),
         "block_index": hashes_padded[::1024],
-        "seg_start": jnp.zeros(FILE_SLOTS, jnp.int32),
-        "seg_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(n_postings),
+        "seg_start": jnp.zeros(1, jnp.int32),
+        "seg_len": jnp.zeros(1, jnp.int32).at[0].set(n_postings),
         "mention_ids": pad(jnp.asarray(ids_host), 1 << 24, jnp.uint32(0xFFFFFFFF)),
         "mention_ord": jnp.zeros(1 << 24, jnp.int32),
         "mention_len": jnp.int32(N_DOCS),
@@ -101,55 +175,39 @@ def main():
         "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
         "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
         "block_index": jnp.full(1, 0xFFFFFFFF, jnp.uint32),
-        "seg_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
-        "seg_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
+        "seg_start": jnp.zeros(1, jnp.int32),
+        "seg_len": jnp.zeros(1, jnp.int32),
         "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
         "mention_ord": jnp.full(1024, -1, jnp.int32),
         "mention_len": jnp.int32(0),
     }
 
-    params = SearchParams(query_len=QUERY_LEN, postings_budget=512, candidate_cap=256)
-
-    def make_queries():
-        targets = rng.integers(1, N_DOCS + 1, BATCH, dtype=np.uint32)
-        qs = np.zeros((BATCH, QUERY_LEN), np.uint32)
-        lens = np.zeros(BATCH, np.int32)
-        for b, t in enumerate(targets):
-            hs = doc_hashes(np.array([t], np.uint32), HASHES_PER_DOC)[0]
-            noise = rng.integers(0, 2**32, 6, dtype=np.uint32)
-            q = np.unique(np.concatenate([hs[: HASHES_PER_DOC - 5], noise]))
-            qs[b, : q.shape[0]] = q
-            lens[b] = q.shape[0]
-        return targets, qs, lens
+    # ~120-hash queries land in the 256 bucket; measure with the SERVING
+    # params for that bucket so this is the number serving can reach.
+    params = _params_for(256)
+    rngq = np.random.default_rng(17)
 
     limits = np.full(BATCH, 10, np.int32)
-    min_scores = np.full(BATCH, 2, np.int32)
+    min_scores = np.full(BATCH, 6, np.int32)  # ceil(120/20) serving default
     pcts = np.full(BATCH, 10, np.int32)
 
-    # Warmup + correctness check: the target doc must win with score = kept hashes.
-    targets, qs, lens = make_queries()
+    targets, qs, lens = make_queries(rngq, BATCH, params.query_len, N_DOCS)
     t0 = time.time()
-    out = search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts)
-    out = jax.device_get(out)
+    out = jax.device_get(search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts))
     compile_s = time.time() - t0
-    top_ids = out["ids"][:, 0]
-    hit_rate = float(np.mean(top_ids == targets))
+    hit_rate = float(np.mean(out["ids"][:, 0] == targets))
     assert hit_rate > 0.95, f"self-retrieval hit rate {hit_rate}"
 
-    # ---- measure: latency (one batch at a time) ----
     lat = []
     for _ in range(ROUNDS):
-        targets, qs, lens = make_queries()
+        targets, qs, lens = make_queries(rngq, BATCH, params.query_len, N_DOCS)
         t0 = time.time()
         out = search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts)
         jax.block_until_ready(out)
         lat.append(time.time() - t0)
     lat_ms = np.array(lat) * 1000.0
 
-    # ---- measure: throughput (two batches in flight — dispatch is async,
-    # so batch i+1's host work and sync overlap batch i's device time; this
-    # is how the serving path behaves under sustained load) ----
-    batches = [make_queries() for _ in range(ROUNDS)]
+    batches = [make_queries(rngq, BATCH, params.query_len, N_DOCS) for _ in range(ROUNDS)]
     t_start = time.time()
     pending = []
     for _, qs, lens in batches:
@@ -158,25 +216,131 @@ def main():
             jax.block_until_ready(pending.pop(0))
     jax.block_until_ready(pending)
     wall = time.time() - t_start
-    n_queries = ROUNDS * BATCH
-    qps = n_queries / wall
+    qps = ROUNDS * BATCH / wall
+    return {
+        "qps": qps,
+        "p50_batch_ms": float(np.percentile(lat_ms, 50)),
+        "p99_batch_ms": float(np.percentile(lat_ms, 99)),
+        "build_s": build_s,
+        "compile_s": compile_s,
+        "hit_rate": hit_rate,
+    }
+
+
+def e2e_bench(jax):
+    """The real serving path: Index.update bulk ingest -> device-merge
+    checkpoint -> concurrent searches through the BatchingSearcher."""
+    import tempfile
+    import threading
+
+    from acoustid_index_tpu.engine.index import Index
+    from acoustid_index_tpu.engine.model import Insert, SearchOptions
+
+    rng = np.random.default_rng(23)
+    t_build = time.time()
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = Index.open(tmp, checkpoint_age=None, checkpoint_threshold=E2E_DOCS * HASHES_PER_DOC + 1)
+        try:
+            step = 100_000
+            for lo in range(1, E2E_DOCS + 1, step):
+                ids = np.arange(lo, min(lo + step, E2E_DOCS + 1), dtype=np.uint32)
+                hs = doc_hashes(ids, HASHES_PER_DOC)
+                idx.update(
+                    [Insert(id=int(i), hashes=h.tolist()) for i, h in zip(ids, hs)]
+                )
+            idx.checkpoint(force=True)  # device merge path at this size
+            build_s = time.time() - t_build
+
+            snapshot = idx.acquire_reader()
+            options = SearchOptions(max_results=40, min_score=6, min_score_pct=10)
+
+            # Warm the serving programs for every coalesce batch size the
+            # load will produce (serving pays these compiles once; the
+            # persistent XLA cache carries them across runs).
+            t_ids = np.array([1], np.uint32)
+            q0 = np.unique(
+                np.concatenate([doc_hashes(t_ids, HASHES_PER_DOC)[0][:20], rng.integers(0, 2**32, 100, dtype=np.uint32)])
+            )
+            res, _ = idx.search(q0.tolist(), options)
+            assert res and res[0].id == 1, res
+            from acoustid_index_tpu.engine.searcher import BATCH_SIZES, _params_for
+
+            padded0 = np.zeros(256, np.uint32)
+            padded0[: q0.shape[0]] = q0
+            req0 = (padded0, int(q0.shape[0]), options)
+            for b in BATCH_SIZES:
+                if b <= E2E_THREADS:  # max coalesce size the load can produce
+                    idx.searcher._run_batch_traced(snapshot, _params_for(256), [req0] * b)
+
+            counts = [0] * E2E_THREADS
+            misses = [0] * E2E_THREADS
+            stop = time.time() + E2E_SECONDS
+
+            def worker(k):
+                r = np.random.default_rng(1000 + k)
+                while time.time() < stop:
+                    t = int(r.integers(1, E2E_DOCS + 1))
+                    hs = doc_hashes(np.array([t], np.uint32), HASHES_PER_DOC)[0]
+                    q = np.unique(np.concatenate([hs[:20], r.integers(0, 2**32, 100, dtype=np.uint32)]))
+                    res, _ = idx.search(q.tolist(), options)
+                    if not res or res[0].id != t:
+                        misses[k] += 1
+                    counts[k] += 1
+
+            t0 = time.time()
+            threads = [threading.Thread(target=worker, args=(k,)) for k in range(E2E_THREADS)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.time() - t0
+            total = sum(counts)
+            return {
+                "e2e_qps": total / wall,
+                "e2e_docs": E2E_DOCS,
+                "e2e_build_s": build_s,
+                "e2e_queries": total,
+                "e2e_miss_rate": sum(misses) / max(total, 1),
+                "e2e_threads": E2E_THREADS,
+            }
+        finally:
+            idx.close()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+
+    t0 = time.time()
+    parity_gate()
+    parity_s = time.time() - t0
+
+    k = kernel_bench(jax, jnp)
+    e = e2e_bench(jax) if E2E_DOCS else {}
 
     print(
         json.dumps(
             {
                 "metric": "search_qps_10M_fp_1chip",
-                "value": round(qps, 1),
+                "value": round(k["qps"], 1),
                 "unit": "qps",
-                "vs_baseline": round(qps / REFERENCE_QPS_ESTIMATE, 3),
+                "vs_baseline": round(k["qps"] / REFERENCE_QPS_ESTIMATE, 3),
+                "baseline_note": "denominator is a pinned ESTIMATE (reference publishes no numbers; zig unavailable to measure it here)",
                 "batch": BATCH,
-                "p50_batch_ms": round(float(np.percentile(lat_ms, 50)), 2),
-                "p99_batch_ms": round(float(np.percentile(lat_ms, 99)), 2),
-                "per_query_p50_ms": round(float(np.percentile(lat_ms, 50)) / BATCH, 3),
-                "build_s": round(build_s, 1),
-                "compile_s": round(compile_s, 1),
-                "self_retrieval_hit_rate": hit_rate,
+                "query_hashes": 120,
+                "p50_batch_ms": round(k["p50_batch_ms"], 2),
+                "p99_batch_ms": round(k["p99_batch_ms"], 2),
+                "per_query_p50_ms": round(k["p50_batch_ms"] / BATCH, 3),
+                "build_s": round(k["build_s"], 1),
+                "compile_s": round(k["compile_s"], 1),
+                "self_retrieval_hit_rate": k["hit_rate"],
                 "n_docs": N_DOCS,
-                "n_postings": n_postings,
+                "n_postings": N_DOCS * HASHES_PER_DOC,
+                "parity_gate": "ok",
+                "parity_gate_s": round(parity_s, 1),
+                **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
                 "device": str(dev),
                 "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
             }
