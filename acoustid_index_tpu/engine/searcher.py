@@ -317,6 +317,29 @@ class BatchingSearcher(Searcher):
             self._materialize({k: v[i] for k, v in out.items()}) for i in range(n)
         ]
 
+    def warm(
+        self,
+        snapshot: Snapshot,
+        q_buckets: Sequence[int] = (64, 256),
+        batch_sizes: Sequence[int] = (1, 16, 256),
+        out_bucket: int = 128,
+    ) -> None:
+        """Precompile the batch programs live traffic will hit (the
+        persistent XLA cache makes later processes near-instant).  Intended
+        for a background warmup thread at startup."""
+        if snapshot.file_view is None or snapshot.mem_view is None:
+            return
+        from .model import SearchOptions
+
+        options = SearchOptions()
+        for qb in q_buckets:
+            padded = np.zeros(qb, np.uint32)
+            padded[:3] = (1, 2, 3)
+            req = (padded, 3, options)
+            params = _params_for(qb, out_bucket)
+            for b in batch_sizes:
+                self._run_batch_traced(snapshot, params, [req] * min(b, MAX_BATCH))
+
     @staticmethod
     def _materialize(out):
         n = int(out["count"])

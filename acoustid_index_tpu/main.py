@@ -92,6 +92,12 @@ def run_server(args) -> None:
         for name in mi.index_names():
             try:
                 mi.search(name, SearchRequestParams(query=[1, 2, 3], timeout=0))
+                ref = mi._get_ref(name)
+                try:
+                    if hasattr(ref.index.searcher, "warm"):
+                        ref.index.searcher.warm(ref.index.acquire_reader())
+                finally:
+                    mi._release_ref(ref)
             except Exception:
                 logging.debug("warmup search failed for %r", name, exc_info=True)
 

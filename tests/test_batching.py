@@ -56,3 +56,18 @@ def test_batching_solo_request():
     b = BatchingSearcher()
     res, stats = b.search(snap, [5, 6, 99], SearchOptions())
     assert [(r.id, r.score) for r in res] == [(1, 2)]
+
+
+def test_warm_precompiles_without_error(tmp_path):
+    from acoustid_index_tpu.engine.index import Index
+    from acoustid_index_tpu.engine.model import Insert, SearchOptions
+
+    idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
+    try:
+        idx.update([Insert(id=1, hashes=[1, 2, 3])])
+        snap = idx.acquire_reader()
+        idx.searcher.warm(snap, q_buckets=(64,), batch_sizes=(1, 4))
+        res, _ = idx.search([1, 2, 3], SearchOptions())
+        assert res[0].id == 1
+    finally:
+        idx.close()
