@@ -26,8 +26,11 @@ block decode, ~120-hash queries, per-hash scan bounds) purely to give the
 ratio a denominator; the absolute numbers are the measurement.
 """
 
+import faulthandler
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -150,6 +153,7 @@ def kernel_bench(jax, jnp):
     h_sorted, d_sorted = make_table()
     h_sorted.block_until_ready()
     build_s = time.time() - t0
+    log(f"kernel table built ({build_s:.0f}s)")
 
     n_postings = N_DOCS * HASHES_PER_DOC
     cap = 1
@@ -197,6 +201,7 @@ def kernel_bench(jax, jnp):
     compile_s = time.time() - t0
     hit_rate = float(np.mean(out["ids"][:, 0] == targets))
     assert hit_rate > 0.95, f"self-retrieval hit rate {hit_rate}"
+    log(f"kernel compiled ({compile_s:.0f}s), hit rate {hit_rate}")
 
     lat = []
     for _ in range(ROUNDS):
@@ -239,7 +244,7 @@ def e2e_bench(jax):
     rng = np.random.default_rng(23)
     t_build = time.time()
     with tempfile.TemporaryDirectory() as tmp:
-        idx = Index.open(tmp, checkpoint_age=None, checkpoint_threshold=E2E_DOCS * HASHES_PER_DOC + 1)
+        idx = Index.open(tmp, checkpoint_age=None, checkpoint_threshold=E2E_DOCS * HASHES_PER_DOC + 1, sync=False)  # fsync off: ingest speed; the measured phase is search
         try:
             step = 100_000
             for lo in range(1, E2E_DOCS + 1, step):
@@ -248,8 +253,10 @@ def e2e_bench(jax):
                 idx.update(
                     [Insert(id=int(i), hashes=h.tolist()) for i, h in zip(ids, hs)]
                 )
+            log("e2e ingest done; checkpointing")
             idx.checkpoint(force=True)  # device merge path at this size
             build_s = time.time() - t_build
+            log(f"e2e built ({build_s:.0f}s)")
 
             snapshot = idx.acquire_reader()
             options = SearchOptions(max_results=40, min_score=6, min_score_pct=10)
@@ -271,6 +278,7 @@ def e2e_bench(jax):
             for b in BATCH_SIZES:
                 if b <= E2E_THREADS:  # max coalesce size the load can produce
                     idx.searcher._run_batch_traced(snapshot, _params_for(256), [req0] * b)
+            log("e2e warm done; measuring")
 
             counts = [0] * E2E_THREADS
             misses = [0] * E2E_THREADS
@@ -307,18 +315,30 @@ def e2e_bench(jax):
             idx.close()
 
 
+def log(msg):
+    print(f"[bench +{time.time() - T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
+
+
 def main():
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
     import jax
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
+    log(f"device: {dev}")
 
     t0 = time.time()
     parity_gate()
     parity_s = time.time() - t0
+    log(f"parity gate ok ({parity_s:.0f}s)")
 
     k = kernel_bench(jax, jnp)
+    log(f"kernel bench: {k['qps']:.0f} qps")
     e = e2e_bench(jax) if E2E_DOCS else {}
+    log(f"e2e bench: {e.get('e2e_qps', 0):.0f} qps")
 
     print(
         json.dumps(

@@ -4,13 +4,18 @@ reference can only reach on a large-RAM single node.
 
 The term table is built analytically (no device sort): doc ids are a
 bit-reversal permutation of the sorted posting positions within each of 8
-hash bands, so the table is sorted by construction and every hash is
-unique.  That makes scoring collision-free (lighter than a real corpus,
-where a few postings share a hash), but the lookup machinery — top-index
-search, block DMAs, budget gather, sort, supersession — does exactly the
-work a real 1B-posting index does.  ~9.7GB of HBM.
+hash bands, so the table is sorted by construction.  The hash layout
+includes REAL collision structure (unlike round 1's unique-hash table):
 
-Prints one JSON line like bench.py (metric search_qps_134M_fp_1chip).
+  * ~12.5% of postings share their hash with a neighboring posting of a
+    DIFFERENT doc (pair runs) — multi-doc runs exercise the run-length
+    scoring and block-straddle paths at scale;
+  * periodic 64-posting hot-hash runs (one per 2^21 positions per band,
+    band-offset so no two docs share more than one hot hash) — load skew;
+  * the band offsets guarantee no two docs share more than ~2 hashes, so
+    exact self-retrieval still requires the full scoring pipeline.
+
+~9.7GB of HBM.  Prints one JSON line (metric search_qps_134M_fp_1chip).
 """
 
 import json
@@ -46,11 +51,28 @@ def np_bitrev27(x: np.ndarray) -> np.ndarray:
     return r.astype(np.uint32)
 
 
+def _f_np(p: np.ndarray, j: int) -> np.ndarray:
+    """Band-j in-band hash offset for sorted position p (monotone
+    nondecreasing in p, so the table stays sorted by construction):
+      * hot: every 2^21 positions (band-offset), a 64-position run collapses
+        to one hash;
+      * pair: positions with (p + j) % 8 == 7 share the previous position's
+        hash (a 2-doc run; exactly one band pairs any given p, so two docs
+        never share more than one pair hash)."""
+    p = p.astype(np.uint64)
+    hot = ((p >> 6) + j) % (1 << 15) == 0
+    pair = np.logical_and((p + j) % 8 == 7, p > 0)
+    f = np.where(hot, (p & ~np.uint64(63)) * 4, np.where(pair, (p - 1) * 4, p * 4))
+    return f
+
+
 def doc_hashes_np(doc_ids: np.ndarray) -> np.ndarray:
     """The 8 hashes of each doc (doc ids are 1-based)."""
     p = np_bitrev27(doc_ids - 1)  # position within each band
-    bands = np.arange(HASHES_PER_DOC, dtype=np.uint64) * BAND
-    return (bands[None, :] + p[:, None].astype(np.uint64) * 4).astype(np.uint32)
+    out = np.empty((doc_ids.shape[0], HASHES_PER_DOC), np.uint32)
+    for j in range(HASHES_PER_DOC):
+        out[:, j] = (np.uint64(j) * BAND + _f_np(p, j)).astype(np.uint32)
+    return out
 
 
 def main():
@@ -68,13 +90,21 @@ def main():
 
     @jax.jit
     def make_tiers():
-        # Sorted by construction: band-major, position-ascending.
+        # Sorted by construction: band-major, position-ascending (the f_j
+        # offsets are monotone nondecreasing in p — see _f_np).
         p = jnp.arange(N_DOCS, dtype=jnp.uint32)
         docs_per_band = bitrev27(p) + 1  # docid at sorted position p
-        hashes = (
-            jnp.arange(HASHES_PER_DOC, dtype=jnp.uint32)[:, None] * jnp.uint32(BAND)
-            + p[None, :] * jnp.uint32(4)
-        ).reshape(-1)
+        bands = []
+        for j in range(HASHES_PER_DOC):
+            hot = ((p >> 6) + j) % (1 << 15) == 0
+            pair = jnp.logical_and((p + j) % 8 == 7, p > 0)
+            f = jnp.where(
+                hot,
+                (p & ~jnp.uint32(63)) * 4,
+                jnp.where(pair, (p - 1) * 4, p * 4),
+            )
+            bands.append(jnp.uint32(j * BAND) + f)
+        hashes = jnp.stack(bands).reshape(-1)
         docids = jnp.broadcast_to(docs_per_band[None, :], (HASHES_PER_DOC, N_DOCS)).reshape(-1)
         return hashes, docids
 
@@ -170,7 +200,7 @@ def main():
                 "n_postings": n_postings,
                 "hbm_gb": round((n_postings * 8 + N_DOCS * 8) / 2**30, 1),
                 "device": str(dev),
-                "note": "collision-free synthetic corpus (unique hashes); lookup work matches a real 1B-posting table, scoring is lighter",
+                "note": "synthetic corpus with collision structure: 25% of postings in multi-doc hash runs, periodic 64-posting hot hashes, 134M-entry mention table",
             }
         )
     )
