@@ -19,7 +19,7 @@ from ..ops.search_kernel import SearchParams, make_search_fn
 from .model import SearchOptions, SearchResult
 from .segments import Snapshot, tier_view_for_search
 
-QUERY_BUCKETS = (64, 256, 1024, 4096)
+QUERY_BUCKETS = (64, 128, 256, 1024, 4096)  # 128: real fingerprint queries run ~120 hashes
 MAX_QUERY_HASHES = QUERY_BUCKETS[-1]
 
 # The HTTP API caps limit at 100 (-> the 128 bucket); the legacy protocol's
@@ -40,11 +40,12 @@ def _out_bucket_for(limit: int) -> int:
 
 
 def _params_for(q_bucket: int, out_bucket: int = 128) -> SearchParams:
-    # The scoring phase sorts P entries per query, so keep the budget tight:
-    # typical fingerprint queries scan a few postings per hash; heavier
+    # The gather + scoring phases scale with the budget (measured: the
+    # per-posting random gather dominates past P=1024), so keep it tight:
+    # typical fingerprint queries gather a few postings per hash; heavier
     # queries report `truncated` (the reference's own per-hash scan caps
     # truncate far earlier, FileSegment.zig:25-26).
-    budget = min(max(1024, q_bucket * 16), 65536)
+    budget = min(max(1024, q_bucket * 4), 16384)
     return SearchParams(
         query_len=q_bucket,
         postings_budget=budget,

@@ -154,6 +154,7 @@ SEARCH_TIER_FIELDS = (
     "block_index",
     "seg_start",
     "seg_len",
+    "docs_len",  # per-slot mention counts: drives the supersession skip
     "mention_ids",
     "mention_ord",
     "mention_len",

@@ -89,13 +89,17 @@ def run_server(args) -> None:
     def warm():
         from .multi.multi_index import SearchRequestParams
 
+        # Tracing holds the GIL in long stretches; let the listener answer
+        # its first health probes before the compile churn starts.
+        threading.Event().wait(2.0)
         for name in mi.index_names():
             try:
                 mi.search(name, SearchRequestParams(query=[1, 2, 3], timeout=0))
                 ref = mi._get_ref(name)
                 try:
-                    if hasattr(ref.index.searcher, "warm"):
-                        ref.index.searcher.warm(ref.index.acquire_reader())
+                    snapshot = ref.index.acquire_reader()
+                    if snapshot.num_docs() and hasattr(ref.index.searcher, "warm"):
+                        ref.index.searcher.warm(snapshot)
                 finally:
                     mi._release_ref(ref)
             except Exception:

@@ -33,6 +33,7 @@ calls never sit under vmap.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,10 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    G = 8  # lookups per grid step; 2 pipelined block DMAs per lookup
+    # Lookups per grid step (2 pipelined block DMAs each).  Bigger G
+    # amortizes the fixed per-step cost (output tile read-modify-write +
+    # grid bookkeeping) over more lookups; must divide TILE.
+    G = int(os.environ.get("AITPU_LOOKUP_G", "8"))
     TILE = 1024  # lookups per (8, 128) output tile
 
     L = queries.shape[0]
@@ -175,9 +179,15 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     step_back = jnp.logical_and(landing_sample == q3, blk > blk_start)
     b0 = jnp.where(step_back, blk - 1, blk)
     b1 = jnp.minimum(b0 + 1, nblk - 1)
-    # The second block only contributes inside the segment's block range;
-    # blk1 == 0 disables it (a real second block is always >= 1).
-    enabled = jnp.logical_and(b1 <= blk_last, b1 != b0)
+    # The second block only contributes when the run actually reaches it: a
+    # run extends into b0+1 iff that block's FIRST posting — which is
+    # exactly its top-index sample — equals the query.  Gating on that makes
+    # the second fetch free for the overwhelming majority of lookups (short
+    # runs), halving the DMA stream.  It must also stay inside the segment's
+    # block range; blk1 == 0 disables it (a real second block is >= 1).
+    enabled = jnp.logical_and(
+        block_index[b1] == q3, jnp.logical_and(b1 <= blk_last, b1 != b0)
+    )
     # A run that still starts before the window is cut short: flag it.
     window_sample = block_index[b0]
     spill = jnp.logical_and(window_sample == q3, b0 > blk_start)

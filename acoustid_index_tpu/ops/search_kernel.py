@@ -273,20 +273,49 @@ def _newest_fn_for(file_tier, mem_tier):
     return newest_fn
 
 
-def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat):
+def segments_mentioning(file_tier, mem_tier) -> jax.Array:
+    """How many segments carry any doc mentions (insert or tombstone).
+    Falls back to postings-bearing slots when the view carries no docs_len
+    (hand-built bench tiers)."""
+    key = "docs_len" if "docs_len" in file_tier else "seg_len"
+    return jnp.sum((file_tier[key] > 0).astype(jnp.int32)) + jnp.sum(
+        (mem_tier[key] > 0).astype(jnp.int32)
+    )
+
+
+def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat, n_mentioning=None):
     """Newest global mention ordinal for a flattened candidate stream,
-    using the Pallas blocked lookup on big mention tables."""
+    using the Pallas blocked lookup on big mention tables.
+
+    With at most ONE mention-bearing segment in the whole snapshot (the
+    steady state of a fully-merged read-heavy index), supersession is
+    structurally impossible — every posting's winning ordinal IS its only
+    mention — so the lookups are skipped at runtime (lax.cond picks the
+    branch per call; the big-table branch still compiles).  Sharded callers
+    must pass `n_mentioning` computed GLOBALLY (a shard can hold one
+    segment's doc entries while another shard holds a newer segment's)."""
     from .pallas_lookup import BLOCK, mention_lookup_blocked
 
     S_F = file_tier["seg_start"].shape[0]
-    outs = []
-    for tier, offset in ((file_tier, 0), (mem_tier, S_F)):
-        if tier["mention_ids"].shape[0] >= 64 * BLOCK:
-            ord_local = mention_lookup_blocked(tier, cand_flat, valid_flat)
-        else:
-            ord_local = tier_newest_ord(tier, cand_flat)
-        outs.append(jnp.where(ord_local >= 0, ord_local + offset, -1))
-    return jnp.maximum(outs[0], outs[1])
+
+    def lookup(_):
+        outs = []
+        for tier, offset in ((file_tier, 0), (mem_tier, S_F)):
+            if tier["mention_ids"].shape[0] >= 64 * BLOCK:
+                ord_local = mention_lookup_blocked(tier, cand_flat, valid_flat)
+            else:
+                ord_local = tier_newest_ord(tier, cand_flat)
+            outs.append(jnp.where(ord_local >= 0, ord_local + offset, -1))
+        return jnp.maximum(outs[0], outs[1])
+
+    if n_mentioning is None:
+        n_mentioning = segments_mentioning(file_tier, mem_tier)
+    return jax.lax.cond(
+        n_mentioning <= 1,
+        lambda _: jnp.full(cand_flat.shape, -1, jnp.int32),
+        lookup,
+        operand=None,
+    )
 
 
 def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):

@@ -234,7 +234,15 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
 
         # Supersession: each candidate doc lives in exactly one docid-range
         # shard; the blocked mention lookup answers locally, pmax combines.
-        local = _batch_newest(f_search, m_search, cd.reshape(-1), c_valid.reshape(-1))
+        # The skip predicate (<=1 mention-bearing segment) must be GLOBAL: a
+        # shard can hold one segment's doc entries while another shard holds
+        # a newer segment's.
+        n_mentioning = jnp.sum(
+            (jax.lax.pmax(f_search["docs_len"], AXIS) > 0).astype(jnp.int32)
+        ) + jnp.sum((jax.lax.pmax(m_search["docs_len"], AXIS) > 0).astype(jnp.int32))
+        local = _batch_newest(
+            f_search, m_search, cd.reshape(-1), c_valid.reshape(-1), n_mentioning
+        )
         newest = jax.lax.pmax(local, AXIS).reshape(cd.shape)
 
         out = jax.vmap(lambda *a: _final_select(params, *a))(

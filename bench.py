@@ -188,7 +188,7 @@ def kernel_bench(jax, jnp):
 
     # ~120-hash queries land in the 256 bucket; measure with the SERVING
     # params for that bucket so this is the number serving can reach.
-    params = _params_for(256)
+    params = _params_for(128)  # ~120-hash queries land in the 128 bucket
     rngq = np.random.default_rng(17)
 
     limits = np.full(BATCH, 10, np.int32)
@@ -272,12 +272,12 @@ def e2e_bench(jax):
             assert res and res[0].id == 1, res
             from acoustid_index_tpu.engine.searcher import BATCH_SIZES, _params_for
 
-            padded0 = np.zeros(256, np.uint32)
+            padded0 = np.zeros(128, np.uint32)
             padded0[: q0.shape[0]] = q0
             req0 = (padded0, int(q0.shape[0]), options)
             for b in BATCH_SIZES:
                 if b <= E2E_THREADS:  # max coalesce size the load can produce
-                    idx.searcher._run_batch_traced(snapshot, _params_for(256), [req0] * b)
+                    idx.searcher._run_batch_traced(snapshot, _params_for(128), [req0] * b)
             log("e2e warm done; measuring")
 
             counts = [0] * E2E_THREADS

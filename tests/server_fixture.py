@@ -62,8 +62,8 @@ class Server:
             try:
                 if requests.get(self.url("/_health"), timeout=2).status_code == 200:
                     return
-            except requests.ConnectionError:
-                pass
+            except (requests.ConnectionError, requests.Timeout):
+                pass  # startup warmup tracing can starve early responses
             time.sleep(0.05)
         raise RuntimeError("server not healthy")
 
