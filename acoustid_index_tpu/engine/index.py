@@ -410,10 +410,16 @@ class Index:
         sizes = [s.get_size() for s in cur.file]
         cand = self.file_merge_policy.should_merge(sizes)
         if cand is None and len(cur.file) > FILE_SLOTS - 2:
-            # Structural bound: the device view has static slots.
+            # Structural bound: the device view has static slots.  Pick the
+            # CHEAPEST adjacent window rather than always [0, 10): the head
+            # of the tier holds the biggest segments, and rewriting them on
+            # every slot-pressure event is the O(N^2) cascade the tiered
+            # policy exists to avoid.
             from .merge_policy import MergeCandidate
 
-            cand = MergeCandidate(start=0, end=min(len(cur.file), 10), size=0)
+            w = min(len(cur.file), 10)
+            best = min(range(len(cur.file) - w + 1), key=lambda i: sum(sizes[i : i + w]))
+            cand = MergeCandidate(start=best, end=best + w, size=sum(sizes[best : best + w]))
         if cand is None:
             return False
         lo, hi = cand.start, cand.end

@@ -326,3 +326,39 @@ def test_index_doc_info(tmp_path):
     assert deleted and version == 2
     assert snap.get_doc_info(99) is None
     idx.close()
+
+
+def test_slot_pressure_merges_cheapest_window(tmp_path, monkeypatch):
+    """When the policy is idle but the device view runs out of slots, the
+    fallback merge picks the cheapest adjacent window — NOT the head of the
+    tier, which holds the biggest segments (rewriting those per event is the
+    O(N^2) cascade the tiered policy exists to avoid)."""
+    from acoustid_index_tpu.engine import index as index_mod
+
+    idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
+    try:
+        # Segment 0 is big; the rest are small.
+        idx.update([Insert(id=i, hashes=list(range(1000, 1200))) for i in range(1, 6)])
+        assert idx.checkpoint(force=True)
+        for k in range(1, 12):
+            idx.update([Insert(id=100 + k, hashes=[7, k])])
+            assert idx.checkpoint(force=True)
+        snap = idx.acquire_reader()
+        assert len(snap.file) == 12
+        big = snap.file[0]
+
+        class IdlePolicy:
+            def should_merge(self, sizes):
+                return None
+
+        idx.file_merge_policy = IdlePolicy()
+        monkeypatch.setattr(index_mod, "FILE_SLOTS", 13)  # force slot pressure
+        assert idx.merge_files()
+        snap2 = idx.acquire_reader()
+        assert snap2.file[0] is big  # the big head segment was NOT rewritten
+        assert len(snap2.file) == 3  # 12 - 10 + 1
+        # All data still served.
+        results, _ = idx.search([7], SearchOptions(max_results=100, min_score=1, min_score_pct=0))
+        assert len(results) == 11
+    finally:
+        idx.close()
