@@ -172,7 +172,30 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     blk_len = ((tier["seg_len"] + BLOCK - 1) // BLOCK)[None, :, None]
     blk_last = jnp.maximum(blk_start, blk_start + blk_len - 1)
     q3 = queries[:, None, :]  # (B, 1, Q)
-    ub = upper_bound(block_index, q3, blk_start, blk_len)  # (B, S, Q)
+    if S == 1:
+        # Single-segment tier (the fully-merged steady state): the whole top
+        # index is one sorted run, so its search is itself a two-level
+        # lookup — a dense compare over a 1024x-sampled mini index (VPU
+        # work, not per-element gathers) picks the top-index chunk, and the
+        # SAME Pallas block kernel counts entries <= q inside it.  Every
+        # chunk before the landing chunk is wholly <= q (its first entry is
+        # the mini sample), so ub = chunk_lower_bound + equals.  The XLA
+        # bounded search costs ~18 dependent per-element gathers per lookup
+        # at this table size — measured ~4x the whole Pallas scan.
+        qf = queries.reshape(-1)
+        nblk_pad = -(-nblk // BLOCK) * BLOCK
+        bi = block_index
+        if nblk_pad != nblk:
+            bi = jnp.concatenate(
+                [bi, jnp.full(nblk_pad - nblk, 0xFFFFFFFF, bi.dtype)]
+            )
+        mini = bi[::BLOCK]
+        ub2 = jnp.sum((mini[None, :] <= qf[:, None]).astype(jnp.int32), axis=1)
+        c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
+        lo_c, cnt_c = block_lookup(bi, c, qf)
+        ub = (lo_c + cnt_c).reshape(B, S, Q)
+    else:
+        ub = upper_bound(block_index, q3, blk_start, blk_len)  # (B, S, Q)
     blk = jnp.clip(jnp.clip(ub - 1, blk_start, blk_last), 0, nblk - 1).astype(jnp.int32)
 
     landing_sample = block_index[blk]
