@@ -43,7 +43,7 @@ NOISE_HASHES = 100  # query = 20 target hashes + noise -> ~120-hash queries
 BATCH = 256
 ROUNDS = 12
 E2E_DOCS = int(os.environ.get("AITPU_BENCH_E2E_DOCS", 2_000_000))
-E2E_THREADS = 64
+E2E_THREADS = int(os.environ.get("AITPU_BENCH_E2E_THREADS", 64))
 E2E_SECONDS = float(os.environ.get("AITPU_BENCH_E2E_SECONDS", 20.0))
 
 
@@ -361,6 +361,7 @@ def main():
                 "parity_gate": "ok",
                 "parity_gate_s": round(parity_s, 1),
                 **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
+                "e2e_note": "e2e drives the real serving path and is host-bound: Python front-end GIL + the dev tunnel's ~24ms/batch sync (absent on attached chips); the kernel number is the device capability",
                 "device": str(dev),
                 "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
             }
