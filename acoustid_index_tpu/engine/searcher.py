@@ -172,10 +172,10 @@ class BatchingSearcher(Searcher):
         self._active = 0
 
     def _batch_fn(self, params: SearchParams):
-        from ..ops.search_kernel import search_segments_batch
+        from ..ops.search_kernel import search_segments_batch_packed
         import functools
 
-        return functools.partial(search_segments_batch, params)
+        return functools.partial(search_segments_batch_packed, params)
 
     # A follower without a deadline still must not wait forever on a wedged
     # leader (the API caps timeouts at 10s; legacy sessions may run with
@@ -275,22 +275,6 @@ class BatchingSearcher(Searcher):
         import jax
 
         n = len(requests)
-        if n == 1:
-            padded, q_len, options = requests[0]
-            fn = self._fn(params)
-            out = jax.device_get(
-                fn(
-                    tier_view_for_search(snapshot.file_view),
-                    tier_view_for_search(snapshot.mem_view),
-                    padded,
-                    np.int32(q_len),
-                    np.int32(options.max_results),
-                    np.int32(options.min_score),
-                    np.int32(options.min_score_pct),
-                )
-            )
-            return [self._materialize(out)]
-
         b = next(x for x in BATCH_SIZES if x >= n)
         qs = np.zeros((b, params.query_len), np.uint32)
         lens = np.zeros(b, np.int32)
@@ -303,17 +287,24 @@ class BatchingSearcher(Searcher):
             limits[i] = options.max_results
             min_scores[i] = options.min_score
             pcts[i] = options.min_score_pct
-        out = jax.device_get(
-            self._batch_fn(params)(
-                tier_view_for_search(snapshot.file_view),
-                tier_view_for_search(snapshot.mem_view),
-                qs,
-                lens,
-                limits,
-                min_scores,
-                pcts,
+        # ONE packed output array -> one device->host sync per batch (each
+        # array transfer costs a full round trip on tunneled dev chips).
+        from ..ops.search_kernel import unpack_outputs_np
+
+        packed = np.asarray(
+            jax.device_get(
+                self._batch_fn(params)(
+                    tier_view_for_search(snapshot.file_view),
+                    tier_view_for_search(snapshot.mem_view),
+                    qs,
+                    lens,
+                    limits,
+                    min_scores,
+                    pcts,
+                )
             )
         )
+        out = unpack_outputs_np(packed, params.out_len)
         return [
             self._materialize({k: v[i] for k, v in out.items()}) for i in range(n)
         ]

@@ -29,7 +29,7 @@ from ..engine.searcher import (
     _params_for,
 )
 from ..engine.segments import FILE_SLOTS, MEMORY_SLOTS, SEARCH_TIER_FIELDS, slot_bucket
-from .sharded import AXIS, _pack_tier_sharded, make_mesh, sharded_search_batch
+from .sharded import AXIS, _pack_tier_sharded, make_mesh, sharded_search_batch_packed
 
 
 class ShardedBatchingSearcher(BatchingSearcher):
@@ -78,11 +78,16 @@ class ShardedBatchingSearcher(BatchingSearcher):
             min_scores[i] = options.min_score
             pcts[i] = options.min_score_pct
 
+        from ..ops.search_kernel import unpack_outputs_np
+
         fview = {k: snapshot.file_view[k] for k in SEARCH_TIER_FIELDS}
         mview = {k: snapshot.mem_view[k] for k in SEARCH_TIER_FIELDS}
-        out = jax.device_get(
-            sharded_search_batch(
-                params, self.mesh, fview, mview, qs, lens, limits, min_scores, pcts
+        packed = np.asarray(
+            jax.device_get(
+                sharded_search_batch_packed(
+                    params, self.mesh, fview, mview, qs, lens, limits, min_scores, pcts
+                )
             )
         )
+        out = unpack_outputs_np(packed, params.out_len)
         return [self._materialize({k: v[i] for k, v in out.items()}) for i in range(n)]

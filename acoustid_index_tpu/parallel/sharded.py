@@ -337,3 +337,16 @@ def sharded_ingest_step(mesh: Mesh, batch_hashes: np.ndarray, batch_ids: np.ndar
         jax.device_put(i, sharding),
         jax.device_put(counts, sharding),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def sharded_search_batch_packed(params: SearchParams, mesh: Mesh, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):
+    """Batched sharded search with outputs packed into one u32 array (one
+    device->host transfer per batch; see search_kernel.pack_outputs)."""
+    from ..ops.search_kernel import pack_outputs
+
+    return pack_outputs(
+        sharded_search_batch(
+            params, mesh, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts
+        )
+    )

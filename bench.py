@@ -43,7 +43,7 @@ NOISE_HASHES = 100  # query = 20 target hashes + noise -> ~120-hash queries
 BATCH = 256
 ROUNDS = 12
 E2E_DOCS = int(os.environ.get("AITPU_BENCH_E2E_DOCS", 2_000_000))
-E2E_THREADS = int(os.environ.get("AITPU_BENCH_E2E_THREADS", 64))
+E2E_THREADS = int(os.environ.get("AITPU_BENCH_E2E_THREADS", 128))
 E2E_SECONDS = float(os.environ.get("AITPU_BENCH_E2E_SECONDS", 20.0))
 
 
