@@ -87,30 +87,35 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     # TILE consecutive lookups share one (8, 128) output tile, written via
     # vectorized one-hot merges (scalar VMEM stores don't lower); every
     # lane is owned by exactly one lookup.
+    #
+    # The per-lookup body is the kernel's cost floor (~185ns measured, DMA
+    # pattern insensitive), so it is minimized: lt and eq are encoded in ONE
+    # composite per element ((x<q) + (x==q)<<12; both sums <= 2048 so the
+    # fields never carry) giving ONE cross-lane reduction and ONE output
+    # merge per lookup instead of four and two; the (lo, cnt) decode happens
+    # in XLA outside the kernel where it is free elementwise work.
     def kernel(blk0_ref, blk1_ref, q_ref, *refs):
         h_refs = refs[: 2 * G]
-        lo_ref, cnt_ref = refs[2 * G], refs[2 * G + 1]
+        comp_ref = refs[2 * G]
         i = pl.program_id(0)
         base = i * G
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        lo_tile = lo_ref[:, :]
-        cnt_tile = cnt_ref[:, :]
+        comp_tile = comp_ref[:, :]
         for k in range(G):
             j = base + k
             q = q_ref[j]
             flag = (blk1_ref[j] > 0).astype(jnp.int32)
             b0 = h_refs[2 * k][:, :]
             b1 = h_refs[2 * k + 1][:, :]
-            lt = jnp.sum((b0 < q).astype(jnp.int32)) + flag * jnp.sum((b1 < q).astype(jnp.int32))
-            eq = jnp.sum((b0 == q).astype(jnp.int32)) + flag * jnp.sum((b1 == q).astype(jnp.int32))
+            v0 = (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
+            v1 = (b1 < q).astype(jnp.int32) + ((b1 == q).astype(jnp.int32) << 12)
+            comp = jnp.sum(v0 + flag * v1)
             row = (j % TILE) // 128
             lane = j % 128
             mask = jnp.logical_and(rows == row, lanes == lane)
-            lo_tile = jnp.where(mask, blk0_ref[j] * BLOCK + lt, lo_tile)
-            cnt_tile = jnp.where(mask, eq, cnt_tile)
-        lo_ref[:, :] = lo_tile
-        cnt_ref[:, :] = cnt_tile
+            comp_tile = jnp.where(mask, comp, comp_tile)
+        comp_ref[:, :] = comp_tile
 
     def in_spec(k):
         half = k % 2
@@ -129,19 +134,19 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
         in_specs=[in_spec(k) for k in range(2 * G)],
         out_specs=[
             pl.BlockSpec((8, 128), lambda i, b0, b1, q: (i * G // TILE, 0)),
-            pl.BlockSpec((8, 128), lambda i, b0, b1, q: (i * G // TILE, 0)),
         ],
     )
-    lo, cnt = pl.pallas_call(
+    comp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),
-        ),
+        out_shape=(jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),),
         interpret=_use_interpret(),
-    )(blk0, blk1, queries, *([hashes2d] * (2 * G)))
-    return lo.reshape(-1)[:L], cnt.reshape(-1)[:L]
+    )(blk0, blk1, queries, *([hashes2d] * (2 * G)))[0]
+    comp = comp.reshape(-1)[:L]
+    lt = comp & jnp.int32(0xFFF)
+    eq = comp >> 12
+    lo = blk0[:L] * BLOCK + lt
+    return lo, eq
 
 
 def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
@@ -194,26 +199,46 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
         c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
         lo_c, cnt_c = block_lookup(bi, c, qf)
         ub = (lo_c + cnt_c).reshape(B, S, Q)
+        eq_top = cnt_c.reshape(B, S, Q)  # equal top entries in landing chunk
     else:
         ub = upper_bound(block_index, q3, blk_start, blk_len)  # (B, S, Q)
+        eq_top = None
     blk = jnp.clip(jnp.clip(ub - 1, blk_start, blk_last), 0, nblk - 1).astype(jnp.int32)
 
-    landing_sample = block_index[blk]
-    step_back = jnp.logical_and(landing_sample == q3, blk > blk_start)
-    b0 = jnp.where(step_back, blk - 1, blk)
-    b1 = jnp.minimum(b0 + 1, nblk - 1)
-    # The second block only contributes when the run actually reaches it: a
-    # run extends into b0+1 iff that block's FIRST posting — which is
-    # exactly its top-index sample — equals the query.  Gating on that makes
-    # the second fetch free for the overwhelming majority of lookups (short
-    # runs), halving the DMA stream.  It must also stay inside the segment's
-    # block range; blk1 == 0 disables it (a real second block is >= 1).
-    enabled = jnp.logical_and(
-        block_index[b1] == q3, jnp.logical_and(b1 <= blk_last, b1 != b0)
-    )
-    # A run that still starts before the window is cut short: flag it.
-    window_sample = block_index[b0]
-    spill = jnp.logical_and(window_sample == q3, b0 > blk_start)
+    if eq_top is not None:
+        # Gather-free window decisions: equal top-index entries occupy
+        # [ub - eq, ub), so block_index[blk] == q  <=>  eq_top > 0 (the last
+        # equal is at ub-1, which the landing chunk contains and counts),
+        # block_index[b1] == q holds exactly in the step-back case, and
+        # block_index[b0-...]: the run reaches below the window iff a second
+        # equal exists (eq_top >= 2), flagged conservatively when the last
+        # equal sits at a chunk boundary and the chunk below is invisible.
+        step_back = jnp.logical_and(eq_top > 0, blk > blk_start)
+        b0 = jnp.where(step_back, blk - 1, blk)
+        b1 = jnp.minimum(b0 + 1, nblk - 1)
+        enabled = jnp.logical_and(step_back, jnp.logical_and(b1 <= blk_last, b1 != b0))
+        spill = jnp.logical_and(
+            jnp.logical_and(step_back, b0 > blk_start),
+            jnp.logical_or(eq_top >= 2, (ub - 1) % BLOCK == 0),
+        )
+    else:
+        landing_sample = block_index[blk]
+        step_back = jnp.logical_and(landing_sample == q3, blk > blk_start)
+        b0 = jnp.where(step_back, blk - 1, blk)
+        b1 = jnp.minimum(b0 + 1, nblk - 1)
+        # The second block only contributes when the run actually reaches
+        # it: a run extends into b0+1 iff that block's FIRST posting — which
+        # is exactly its top-index sample — equals the query.  Gating on
+        # that makes the second fetch free for the overwhelming majority of
+        # lookups (short runs), halving the DMA stream.  It must also stay
+        # inside the segment's block range; blk1 == 0 disables it (a real
+        # second block is >= 1).
+        enabled = jnp.logical_and(
+            block_index[b1] == q3, jnp.logical_and(b1 <= blk_last, b1 != b0)
+        )
+        # A run that still starts before the window is cut short: flag it.
+        window_sample = block_index[b0]
+        spill = jnp.logical_and(window_sample == q3, b0 > blk_start)
 
     # Padded query lanes and empty slots don't need their blocks: point them
     # at block 0 so they form constant runs — the pipeline skips the DMA

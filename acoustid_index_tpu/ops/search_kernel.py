@@ -84,10 +84,14 @@ def _tier_ranges(tier, query, valid_q, cap_k):
     return lo, jnp.minimum(counts, cap_k), jnp.any(counts > cap_k)
 
 
-def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts):
+def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts, use_mem: bool = True):
     """Stage 2 for ONE query: ragged->dense gather from per-tier (S, Q)
     ranges.  Returns per-posting (docid, global ordinal, invalid flag) and
-    the number of postings gathered."""
+    the number of postings gathered.
+
+    `use_mem=False` compiles a variant with no memory-tier gather, selected
+    at runtime by the caller's lax.cond when the memory tier is empty (the
+    fully-merged steady state)."""
     Q, P = p.query_len, p.postings_budget
     S_F = f_lo.shape[0]
     S = S_F + m_lo.shape[0]
@@ -101,10 +105,21 @@ def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo,
 
     pos = jnp.arange(P, dtype=jnp.int32)
     if S * Q <= 1024:
-        # Dense compare-sum: TPU XLA lowers per-element binary-search
-        # gathers to ~0.1us/element scalar loads; a (P, S*Q) compare runs on
-        # the full VPU instead (measured ~10x faster at serving shapes).
+        # Dense compare-sum + one-hot MXU extraction: TPU XLA lowers
+        # per-element gathers to ~0.1us/element scalar loads; comparing
+        # against the whole (tiny) cum array on the VPU and extracting the
+        # per-j values with (P, S*Q) one-hot matmuls is ~10x faster.
         j = jnp.sum((cum[None, :] <= pos[:, None]).astype(jnp.int32), axis=1)
+        j = jnp.clip(j, 0, S * Q - 1)
+        onehot = (jnp.arange(S * Q, dtype=jnp.int32)[None, :] == j[:, None]).astype(jnp.float32)
+        cum_before = (cum - flat_counts).astype(jnp.float32)  # < 2^24: exact in f32
+        cb = jnp.dot(onehot, cum_before, preferred_element_type=jnp.float32).astype(jnp.int32)
+        # flat_lo can exceed 2^24 (table positions): extract in two exact
+        # 16-bit halves.
+        lo_lo = jnp.dot(onehot, (flat_lo & 0xFFFF).astype(jnp.float32), preferred_element_type=jnp.float32)
+        lo_hi = jnp.dot(onehot, (flat_lo >> 16).astype(jnp.float32), preferred_element_type=jnp.float32)
+        within = pos - cb
+        src = (lo_hi.astype(jnp.int32) << 16) + lo_lo.astype(jnp.int32) + within
     else:
         # Hand-rolled bounded search: jnp.searchsorted's TPU lowering
         # measured ~6x slower than direct fori-loop gathers at this shape.
@@ -112,26 +127,60 @@ def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo,
             cum.astype(jnp.uint32), pos.astype(jnp.uint32), jnp.int32(0), jnp.int32(S * Q),
             steps=steps_for(S * Q),
         ).astype(jnp.int32)
-    j = jnp.clip(j, 0, S * Q - 1)
-    within = pos - (cum[j] - flat_counts[j])
-    src = flat_lo[j] + within
+        j = jnp.clip(j, 0, S * Q - 1)
+        within = pos - (cum[j] - flat_counts[j])
+        src = flat_lo[j] + within
     p_valid = pos < total
-    is_mem = j >= S_F * Q
 
     f_vals = file_tier["docids"][jnp.clip(src, 0, file_tier["docids"].shape[0] - 1)]
-    m_vals = mem_tier["docids"][jnp.clip(src, 0, mem_tier["docids"].shape[0] - 1)]
-    d = jnp.where(p_valid, jnp.where(is_mem, m_vals, f_vals), SENTINEL)
+    if use_mem:
+        is_mem = j >= S_F * Q
+        m_vals = mem_tier["docids"][jnp.clip(src, 0, mem_tier["docids"].shape[0] - 1)]
+        vals = jnp.where(is_mem, m_vals, f_vals)
+    else:
+        vals = f_vals
+    d = jnp.where(p_valid, vals, SENTINEL)
     o = jnp.where(p_valid, j // Q, S).astype(jnp.int32)
     inv = jnp.logical_not(p_valid).astype(jnp.int32)
     return d, o, inv, total, grand_total > P
 
 
+def _tier_ranges_dense(tier, queries, valid_q, cap_k):
+    """(lo, counts, trunc) for a SMALL tier via one dense compare + MXU
+    matmul for the whole (B, Q) batch: XLA lowers per-element binary-search
+    gathers to ~0.1us/element scalar loads, so a 10-step search over B*Q*2
+    bounds costs more than comparing every query against the entire table
+    and reducing per segment on the MXU."""
+    cap = tier["hashes"].shape[0]
+    S = tier["seg_start"].shape[0]
+    B, Q = queries.shape
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    seg_end = tier["seg_start"] + tier["seg_len"]
+    in_seg = jnp.logical_and(
+        pos[None, :] >= tier["seg_start"][:, None], pos[None, :] < seg_end[:, None]
+    ).astype(jnp.float32)  # (S, cap)
+
+    qf = queries.reshape(-1)  # (B*Q,)
+    lt = (tier["hashes"][None, :] < qf[:, None]).astype(jnp.float32)
+    le = (tier["hashes"][None, :] <= qf[:, None]).astype(jnp.float32)
+    # Counts <= cap <= 4096 are exact in f32.
+    lt_c = jnp.dot(lt, in_seg.T, preferred_element_type=jnp.float32)
+    le_c = jnp.dot(le, in_seg.T, preferred_element_type=jnp.float32)
+    # (B*Q, S) -> (B, S, Q)
+    cnt = (le_c - lt_c).astype(jnp.int32).reshape(B, Q, S).transpose(0, 2, 1)
+    lo = lt_c.astype(jnp.int32).reshape(B, Q, S).transpose(0, 2, 1) + tier["seg_start"][None, :, None]
+    cnt = jnp.where(valid_q[:, None, :], cnt, 0)
+    trunc = jnp.any(cnt > cap_k)
+    return lo, jnp.minimum(cnt, cap_k), trunc
+
+
 def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
     """Stage 1 for a (B, Q) query batch: per-tier (B, S, Q) ranges.  Uses
     the Pallas two-level lookup when the tier carries a block index (one
-    flattened lookup stream serves the whole batch), else the XLA bounded
-    binary search."""
-    from .pallas_lookup import tier_ranges_blocked
+    flattened lookup stream serves the whole batch), a dense compare +
+    MXU reduction for small tiers (e.g. the memory tier between
+    checkpoints), and the XLA bounded binary search in between."""
+    from .pallas_lookup import BLOCK, tier_ranges_blocked
 
     Q, K = p.query_len, p.per_hash_cap
     B = queries.shape[0]
@@ -141,12 +190,11 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
     for tier in (file_tier, mem_tier):
         # Static-shape decision: the Pallas path pays one block DMA per
         # lookup, which only wins when the table is big enough that random
-        # HBM gathers hurt; small tiers (e.g. the memory tier) binary-search
-        # directly.
-        from .pallas_lookup import BLOCK
-
+        # HBM gathers hurt; small tiers compare densely.
         if "block_index" in tier and tier["hashes"].shape[0] >= 64 * BLOCK:
             outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
+        elif tier["hashes"].shape[0] <= 4096:
+            outs.append(_tier_ranges_dense(tier, queries, valid_q, K))
         else:
             lo, cnt, trunc = jax.vmap(
                 lambda q, v: _tier_ranges(tier, q, v[None, :], K), in_axes=(0, 0)
@@ -211,15 +259,19 @@ def _score_rank(p: SearchParams, d, o, inv, min_score):
     cand = jnp.logical_and(doc_last, score >= min_score)
 
     # 4. Rank candidates (score desc, id asc) and take the top C.  One u32
-    # key encodes validity + descending score (score <= P < 2^31).
+    # key encodes validity + descending score (score <= P < 2^31); the score
+    # is RECOVERED from the key after the sort rather than carried as a
+    # fourth payload array (sort cost scales with operand count).
     rank_key = jnp.where(cand, jnp.uint32(P) - score.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-    rk, cd, co, csc = jax.lax.sort((rank_key, d, o, score), num_keys=2)
-    c_valid = rk[:C] != jnp.uint32(0xFFFFFFFF)
+    rk, cd, co = jax.lax.sort((rank_key, d, o), num_keys=2)
+    rk, cd, co = rk[:C], cd[:C], co[:C]
+    c_valid = rk != jnp.uint32(0xFFFFFFFF)
+    csc = jnp.where(c_valid, jnp.uint32(P) - rk, jnp.uint32(0)).astype(jnp.int32)
     # More candidates reached min_score than C slots: the tail was dropped
     # before supersession/limit filtering, so results are approximate —
     # surface it like the per-hash/budget caps do.
     c_over = jnp.sum(cand.astype(jnp.int32)) > C
-    return cd[:C], co[:C], csc[:C], c_valid, c_over
+    return cd, co, csc, c_valid, c_over
 
 
 def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_score, pct):
@@ -329,12 +381,23 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
     then plan + score vmapped per query."""
     S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
     f_lo, f_cnt, m_lo, m_cnt, trunc = _batch_ranges(p, file_tier, mem_tier, queries, q_lens)
-    def rank_query(f_lo1, f_cnt1, m_lo1, m_cnt1, min_score):
-        d, o, inv, total, over = _plan_and_gather(p, file_tier, mem_tier, f_lo1, f_cnt1, m_lo1, m_cnt1)
-        cd, co, csc, c_valid, c_over = _score_rank(p, d, o, inv, min_score)
-        return cd, co, csc, c_valid, total, jnp.logical_or(over, c_over)
 
-    cd, co, csc, c_valid, totals, overs = jax.vmap(rank_query)(f_lo, f_cnt, m_lo, m_cnt, min_scores)
+    def rank_all(use_mem):
+        def rank_query(f_lo1, f_cnt1, m_lo1, m_cnt1, min_score):
+            d, o, inv, total, over = _plan_and_gather(
+                p, file_tier, mem_tier, f_lo1, f_cnt1, m_lo1, m_cnt1, use_mem=use_mem
+            )
+            cd, co, csc, c_valid, c_over = _score_rank(p, d, o, inv, min_score)
+            return cd, co, csc, c_valid, total, jnp.logical_or(over, c_over)
+
+        return lambda _: jax.vmap(rank_query)(f_lo, f_cnt, m_lo, m_cnt, min_scores)
+
+    # Runtime branch OUTSIDE the vmap (cond under vmap degrades to select,
+    # executing both sides): an empty memory tier — the fully-merged
+    # steady state — skips its gather entirely.
+    cd, co, csc, c_valid, totals, overs = jax.lax.cond(
+        jnp.sum(mem_tier["seg_len"]) > 0, rank_all(True), rank_all(False), None
+    )
 
     # Supersession runs once for the whole batch's candidate stream so the
     # blocked mention lookup never sits under vmap.
