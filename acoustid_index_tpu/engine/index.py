@@ -244,6 +244,16 @@ class Index:
             raise SearchTimeout("search queued past its deadline")
         return self.searcher.search(snapshot, query, options, deadline=deadline)
 
+    def search_async(self, query: Sequence[int], options: SearchOptions, deadline: Optional[float] = None):
+        """Async form of search(): returns a future-like handle whose
+        `.result()` yields (results, stats).  Lets one caller keep many
+        searches in flight through the batching pipeline (open-loop load,
+        bulk lookups)."""
+        snapshot = self.acquire_reader()
+        if deadline is not None and time.monotonic() > deadline:
+            raise SearchTimeout("search queued past its deadline")
+        return self.searcher.submit(snapshot, query, options, deadline=deadline)
+
     # ---- writer ----
 
     def update(

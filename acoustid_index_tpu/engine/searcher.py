@@ -8,6 +8,7 @@ a bucketed static length so XLA compiles a handful of programs.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass
@@ -135,52 +136,140 @@ class Searcher:
         )
         return results, stats
 
+    def submit(self, snapshot, query, options, deadline=None):
+        """Future-returning form; the plain searcher resolves synchronously
+        (BatchingSearcher overrides with the real pipeline)."""
+        return _ImmediateResult(self.search(snapshot, query, options, deadline))
 
-class _BatchGroup:
-    __slots__ = ("key", "requests", "done", "closed", "results", "error")
 
-    def __init__(self, key):
-        self.key = key
-        self.requests = []  # (padded_query, q_len, options)
-        self.done = threading.Event()
-        self.closed = False
-        self.results = None
-        self.error = None
+class _ImmediateResult:
+    __slots__ = ("_value",)
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
 
 
 BATCH_SIZES = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 MAX_BATCH = BATCH_SIZES[-1]
 
 
+class _PendingSearch:
+    """A submitted search — the future its caller waits on.
+
+    State transitions (guarded by the searcher's queue lock):
+      PENDING   — sitting in the dispatch queue
+      CLAIMED   — packed into a batch that has been (or is being) launched
+      ABANDONED — deadline expired while still PENDING; the dispatcher drops it
+    """
+
+    PENDING, CLAIMED, ABANDONED = 0, 1, 2
+
+    __slots__ = (
+        "searcher", "key", "snapshot", "padded", "q_len", "options",
+        "deadline", "state", "done", "row", "error", "direct",
+    )
+
+    def __init__(self, searcher, key, snapshot, padded, q_len, options, deadline):
+        self.searcher = searcher
+        self.key = key
+        self.snapshot = snapshot
+        self.padded = padded
+        self.q_len = q_len
+        self.options = options
+        self.deadline = deadline
+        self.state = self.PENDING
+        self.done = threading.Event()
+        self.row = None
+        self.error = None
+        self.direct = None  # short-circuit result (empty query)
+
+    def result(self) -> Tuple[List[SearchResult], SearchStats]:
+        """Block until the result is ready (same deadline semantics as
+        BatchingSearcher.search)."""
+        return self.searcher._await(self)
+
+
 class BatchingSearcher(Searcher):
-    """Coalesces concurrent searches against the same snapshot view into one
-    batched device program (leader/follower, no dedicated thread).
+    """Coalesces concurrent searches into batched device programs and
+    PIPELINES them.
 
     The reference's throughput comes from many CPU threads scanning
     independently; on TPU the equivalent is one vectorized program over a
-    query batch — a single launch amortizes dispatch and keeps the VPU fed.
-    Requests are grouped by (table identity, query bucket); the first
-    request in a group becomes the leader, waits up to `max_wait` for
-    followers (only when there is real concurrency), then executes.
+    query batch.  A single synchronous launch-then-fetch cycle, however,
+    serializes the device->host round trip (a full tunnel/PCIe RTT) with the
+    kernel itself, so this searcher splits the cycle across threads:
+
+      * a DISPATCHER thread drains the request queue, packs same-group
+        requests (same table identity + query/out bucket) into the largest
+        ready batch, and launches it — JAX dispatch is asynchronous, so the
+        launch returns while the program runs;
+      * COLLECTOR threads fetch finished batches (`device_get`) and resolve
+        the callers' futures.
+
+    Batch N+1 is packed and launched while batch N's transfer is still in
+    flight; up to MAX_IN_FLIGHT batches queue on the device.  `submit` is
+    the async form (for open-loop load and callers that want many searches
+    in flight from one thread); `search` is submit + wait.
     """
+
+    MAX_IN_FLIGHT = int(os.environ.get("AITPU_SEARCH_IN_FLIGHT", "4"))
+    COLLECTORS = 2  # overlap two device->host RTTs
+    # A dispatched batch must eventually resolve even with no deadline set
+    # (cold-bucket compiles take minutes; the API caps timeouts at 10s but
+    # legacy sessions may run with timeout 0 = none).
+    MAX_RESULT_WAIT = 300.0
 
     def __init__(self, max_wait: float = 0.002):
         super().__init__()
         self.max_wait = max_wait
-        self._glock = threading.Lock()
-        self._groups: Dict[tuple, _BatchGroup] = {}
-        self._active = 0
+        self._qlock = threading.Lock()
+        self._qcond = threading.Condition(self._qlock)
+        self._pending = []  # type: List[_PendingSearch]
+        self._inflight = 0  # launched, not yet collected (under _qlock)
+        self._inflight_sem = threading.BoundedSemaphore(self.MAX_IN_FLIGHT)
+        self._collect_q = None  # type: Optional[object]
+        self._precompile_q = None  # type: Optional[object]
+        self._threads = None
+        self._stopping = False
+        # Batch shapes whose program is already compiled (see _shape_key).
+        # A cold shape would stall the single dispatcher for the whole
+        # compile (seconds cold, minutes on a tunneled TPU) and time out
+        # everything queued behind it, so cold sizes round UP to the nearest
+        # warm bucket (padding is cheap) while the exact bucket compiles in
+        # the background.
+        self._warm = set()
+        self._precompiling = set()
 
-    def _batch_fn(self, params: SearchParams):
-        from ..ops.search_kernel import search_segments_batch_packed
-        import functools
+    # ---- submission ----
 
-        return functools.partial(search_segments_batch_packed, params)
-
-    # A follower without a deadline still must not wait forever on a wedged
-    # leader (the API caps timeouts at 10s; legacy sessions may run with
-    # timeout 0 = none).
-    MAX_FOLLOWER_WAIT = 120.0
+    def submit(
+        self,
+        snapshot: Snapshot,
+        query: Sequence[int],
+        options: SearchOptions,
+        deadline: Optional[float] = None,
+    ) -> _PendingSearch:
+        """Enqueue a search; returns a future-like handle (`.result()`)."""
+        q, q_len = self.prepare_query(query)
+        if q_len == 0 or snapshot.file_view is None or snapshot.mem_view is None:
+            req = _PendingSearch(self, None, None, None, 0, options, deadline)
+            req.direct = ([], SearchStats(0, False))
+            req.done.set()
+            return req
+        bucket = next(b for b in QUERY_BUCKETS if b >= q_len)
+        out_bucket = _out_bucket_for(options.max_results)
+        padded = np.zeros(bucket, dtype=np.uint32)
+        padded[:q_len] = q
+        key = (id(snapshot.file_view), id(snapshot.mem_view), bucket, out_bucket)
+        req = _PendingSearch(self, key, snapshot, padded, q_len, options, deadline)
+        with self._qcond:
+            self._ensure_threads_locked()
+            self._pending.append(req)
+            self._qcond.notify()
+        return req
 
     def search(
         self,
@@ -189,93 +278,238 @@ class BatchingSearcher(Searcher):
         options: SearchOptions,
         deadline: Optional[float] = None,
     ):
-        q, q_len = self.prepare_query(query)
-        if q_len == 0 or snapshot.file_view is None or snapshot.mem_view is None:
-            return [], SearchStats(0, False)
-        bucket = next(b for b in QUERY_BUCKETS if b >= q_len)
-        out_bucket = _out_bucket_for(options.max_results)
-        padded = np.zeros(bucket, dtype=np.uint32)
-        padded[:q_len] = q
-        key = (id(snapshot.file_view), id(snapshot.mem_view), bucket, out_bucket)
+        return self._await(self.submit(snapshot, query, options, deadline))
 
-        with self._glock:
-            self._active += 1
-            group = self._groups.get(key)
-            if group is not None and not group.closed and len(group.requests) < MAX_BATCH:
-                idx = len(group.requests)
-                group.requests.append((padded, q_len, options))
-                leader = False
-            else:
-                group = _BatchGroup(key)
-                group.requests.append((padded, q_len, options))
-                self._groups[key] = group
-                idx = 0
-                leader = True
-            concurrency = self._active
-
-        try:
-            if leader:
-                # Solo traffic dispatches immediately; real concurrency waits
-                # a moment for followers to coalesce.
-                if concurrency > 1:
-                    wait_until = time.monotonic() + self.max_wait
-                    while time.monotonic() < wait_until:
-                        with self._glock:
-                            if len(group.requests) >= MAX_BATCH:
-                                break
-                        time.sleep(0.0002)
-                with self._glock:
-                    group.closed = True
-                    if self._groups.get(key) is group:
-                        del self._groups[key]
-                # Deadline re-check after the coalesce wait; once dispatched,
-                # the (bounded) device program runs to completion and its
-                # latency does NOT count against the deadline — first-compile
-                # of a cold bucket takes seconds and must not fail requests.
-                expired = deadline is not None and time.monotonic() > deadline
-                # The leader always executes — followers joined this group and
-                # would hang otherwise.
-                try:
-                    group.results = self._run_batch(snapshot, bucket, out_bucket, group.requests)
-                except Exception as exc:  # noqa: BLE001 — propagated per-request
-                    group.error = exc
-                group.done.set()
-                if expired:
+    def _await(self, req: _PendingSearch):
+        timeout = None
+        if req.deadline is not None:
+            timeout = max(0.0, req.deadline - time.monotonic())
+        if not req.done.wait(timeout):
+            with self._qlock:
+                if req.state == _PendingSearch.PENDING:
+                    # Deadline expired while still queued: refuse (the
+                    # reference cancels at scan yield points; our pre-launch
+                    # queue is the analogous cancellation point).
+                    req.state = _PendingSearch.ABANDONED
+                    req.snapshot = None
                     from .errors import SearchTimeout
 
-                    raise SearchTimeout("search deadline expired while coalescing")
+                    raise SearchTimeout("search deadline expired while batched")
+            # Already claimed: the batch is on the device; its (bounded)
+            # latency does NOT count against the deadline — first-compile of
+            # a cold bucket takes minutes and must not fail requests.
+            if not req.done.wait(self.MAX_RESULT_WAIT):
+                raise RuntimeError("batched search dispatcher never completed")
+        if req.error is not None:
+            raise req.error
+        if req.direct is not None:
+            return req.direct
+        return self._materialize(req.row)
+
+    # ---- pipeline threads ----
+
+    def _ensure_threads_locked(self) -> None:
+        if self._threads is not None:
+            return
+        import queue
+
+        self._collect_q = queue.Queue()
+        self._precompile_q = queue.Queue()
+        ts = [
+            threading.Thread(target=self._dispatch_loop, name="aitpu-dispatch", daemon=True),
+            threading.Thread(target=self._precompile_loop, name="aitpu-precompile", daemon=True),
+        ]
+        for i in range(self.COLLECTORS):
+            ts.append(
+                threading.Thread(target=self._collect_loop, name=f"aitpu-collect-{i}", daemon=True)
+            )
+        for t in ts:
+            t.start()
+        self._threads = ts
+
+    def close(self) -> None:
+        """Stop the pipeline threads (daemonized, so optional)."""
+        with self._qcond:
+            if self._threads is None:
+                return
+            self._stopping = True
+            self._qcond.notify_all()
+        for _ in range(self.COLLECTORS):
+            self._collect_q.put(None)
+        self._precompile_q.put(None)
+        for t in self._threads:
+            t.join(timeout=10)
+        with self._qcond:
+            self._threads = None
+            self._stopping = False
+
+    def _claim_locked(self, key=None, space=MAX_BATCH) -> List[_PendingSearch]:
+        """Pop up to `space` same-group requests (group of the queue head
+        when `key` is None).  Abandoned requests are dropped on the floor."""
+        batch: List[_PendingSearch] = []
+        keep = []
+        for req in self._pending:
+            if req.state == _PendingSearch.ABANDONED:
+                continue
+            if len(batch) < space and (key is None or req.key == key):
+                if key is None:
+                    key = req.key
+                req.state = _PendingSearch.CLAIMED
+                batch.append(req)
             else:
-                wait = self.MAX_FOLLOWER_WAIT
-                if deadline is not None:
-                    wait = min(wait, max(0.0, deadline - time.monotonic()))
-                if not group.done.wait(timeout=wait):
-                    if deadline is not None and time.monotonic() > deadline:
-                        # Deadline expired while coalesced behind a slow leader.
-                        from .errors import SearchTimeout
+                keep.append(req)
+        self._pending = keep
+        return batch
 
-                        raise SearchTimeout("search deadline expired while batched")
-                    if not group.done.wait(timeout=self.MAX_FOLLOWER_WAIT):
-                        raise RuntimeError("batched search leader never completed")
-            if group.error is not None:
-                raise group.error
-            return group.results[idx]
-        finally:
-            with self._glock:
-                self._active -= 1
+    def _dispatch_loop(self) -> None:
+        while True:
+            with self._qcond:
+                while not self._pending and not self._stopping:
+                    self._qcond.wait()
+                if self._stopping:
+                    return
+                batch = self._claim_locked()
+                busy = bool(self._pending) or self._inflight > 0
+            if not batch:
+                continue
+            key = batch[0].key
+            # Coalesce: under load (device busy or other groups queued) wait
+            # a moment for the batch to fill; solo traffic launches at once.
+            if len(batch) < MAX_BATCH and busy:
+                t_end = time.monotonic() + self.max_wait
+                while len(batch) < MAX_BATCH and time.monotonic() < t_end:
+                    time.sleep(0.0002)
+                    with self._qlock:
+                        batch.extend(self._claim_locked(key, MAX_BATCH - len(batch)))
+            # Bound the device queue; while blocked here more requests pile
+            # up, so top the batch off after acquiring a slot (batches size
+            # themselves to the arrival rate when the pipe is full).
+            self._inflight_sem.acquire()
+            with self._qlock:
+                batch.extend(self._claim_locked(key, MAX_BATCH - len(batch)))
+                self._inflight += 1
+            params = _params_for(key[2], key[3])
+            snapshot = batch[0].snapshot
+            b = self._pick_batch_size(snapshot, params, len(batch))
+            if b < len(batch):
+                # Exact bucket is cold but a smaller one is warm: serve the
+                # head at the warm size NOW (chunks pipeline back-to-back
+                # with no compile stall) and requeue the tail — the exact
+                # bucket is already compiling in the background.
+                with self._qcond:
+                    for r in reversed(batch[b:]):
+                        r.state = _PendingSearch.PENDING
+                        self._pending.insert(0, r)
+                    self._qcond.notify()
+                batch = batch[:b]
+            try:
+                from ..utils.profiling import trace
 
-    def _run_batch(self, snapshot, bucket, out_bucket, requests):
-        from ..utils.profiling import trace
+                with trace(f"search_dispatch[{len(batch)}/{b}]"):
+                    handle = self._launch(
+                        snapshot,
+                        params,
+                        self._pack_batch(params, [(r.padded, r.q_len, r.options) for r in batch], b),
+                    )
+                self._warm.add(self._shape_key(snapshot, params, b))
+            except Exception as exc:  # noqa: BLE001 — propagated per-request
+                with self._qlock:
+                    self._inflight -= 1
+                self._inflight_sem.release()
+                for r in batch:
+                    r.error = exc
+                    r.done.set()
+                continue
+            self._collect_q.put((handle, params, batch))
 
-        params = _params_for(bucket, out_bucket)
-        n = len(requests)
-        with trace(f"search_batch[{n}]"):
-            return self._run_batch_traced(snapshot, params, requests)
+    @staticmethod
+    def _shape_key(snapshot, params: SearchParams, b: int):
+        """Everything the compiled program's identity depends on: static
+        params, batch bucket, and the (bucketed) view array shapes."""
 
-    def _run_batch_traced(self, snapshot, params, requests):
+        def shapes(view):
+            return tuple(sorted((k, tuple(getattr(v, "shape", ()))) for k, v in view.items()))
+
+        return (params, b, shapes(snapshot.file_view), shapes(snapshot.mem_view))
+
+    def _pick_batch_size(self, snapshot, params: SearchParams, n: int) -> int:
+        """The exact bucket if its program is warm (or nothing is warm at
+        all, the true cold start — compile inline).  Otherwise avoid
+        stalling the dispatcher on a compile: the smallest warm bucket that
+        fits, or — when only smaller buckets are warm — the largest warm
+        one (the caller splits the batch into warm-sized chunks).  Either
+        way the exact bucket goes to the background precompiler."""
+        b_exact = next(x for x in BATCH_SIZES if x >= n)
+        key_exact = self._shape_key(snapshot, params, b_exact)
+        if key_exact in self._warm:
+            return b_exact
+        warm = [b for b in BATCH_SIZES if self._shape_key(snapshot, params, b) in self._warm]
+        if not warm:
+            return b_exact  # nothing warm at all: compile inline
+        if key_exact not in self._precompiling:
+            self._precompiling.add(key_exact)
+            self._precompile_q.put((snapshot, params, b_exact, key_exact))
+        fitting = [b for b in warm if b >= n]
+        return fitting[0] if fitting else warm[-1]
+
+    def _precompile_loop(self) -> None:
+        """Compiles exact batch buckets off the dispatch path.  The dummy
+        launch's result is never fetched; its device time is one wasted
+        micro-batch, its compile fills the process + persistent XLA caches."""
+        while True:
+            item = self._precompile_q.get()
+            if item is None:
+                return
+            snapshot, params, b, key = item
+            try:
+                req = (np.zeros(params.query_len, np.uint32), 1, SearchOptions())
+                self._launch(snapshot, params, self._pack_batch(params, [req] * b, b))
+                self._warm.add(key)
+            except Exception:  # noqa: BLE001 — precompile is best-effort
+                pass
+            finally:
+                self._precompiling.discard(key)
+
+    def _collect_loop(self) -> None:
         import jax
 
+        from ..ops.search_kernel import unpack_outputs_np
+
+        while True:
+            item = self._collect_q.get()
+            if item is None:
+                return
+            handle, params, batch = item
+            try:
+                packed = np.asarray(jax.device_get(handle))
+                out = unpack_outputs_np(packed, params.out_len)
+                for i, req in enumerate(batch):
+                    req.row = {k: v[i] for k, v in out.items()}
+                    req.snapshot = None
+                    req.done.set()
+            except Exception as exc:  # noqa: BLE001 — propagated per-request
+                for req in batch:
+                    req.error = exc
+                    req.done.set()
+            finally:
+                with self._qlock:
+                    self._inflight -= 1
+                self._inflight_sem.release()
+
+    # ---- batch execution ----
+
+    def _batch_fn(self, params: SearchParams):
+        from ..ops.search_kernel import search_segments_batch_packed
+        import functools
+
+        return functools.partial(search_segments_batch_packed, params)
+
+    @staticmethod
+    def _pack_batch(params: SearchParams, requests, b: Optional[int] = None):
+        """(padded, q_len, options) tuples -> batch arrays padded to `b`."""
         n = len(requests)
-        b = next(x for x in BATCH_SIZES if x >= n)
+        if b is None:
+            b = next(x for x in BATCH_SIZES if x >= n)
         qs = np.zeros((b, params.query_len), np.uint32)
         lens = np.zeros(b, np.int32)
         limits = np.ones(b, np.int32)
@@ -287,26 +521,38 @@ class BatchingSearcher(Searcher):
             limits[i] = options.max_results
             min_scores[i] = options.min_score
             pcts[i] = options.min_score_pct
-        # ONE packed output array -> one device->host sync per batch (each
-        # array transfer costs a full round trip on tunneled dev chips).
+        return qs, lens, limits, min_scores, pcts
+
+    def _launch(self, snapshot, params: SearchParams, arrays):
+        """Launch the batched program; returns the device handle of the ONE
+        packed output array (each extra device->host array costs a full sync
+        round trip on tunneled dev chips).  Overridden by the mesh-sharded
+        searcher."""
+        qs, lens, limits, min_scores, pcts = arrays
+        return self._batch_fn(params)(
+            tier_view_for_search(snapshot.file_view),
+            tier_view_for_search(snapshot.mem_view),
+            qs,
+            lens,
+            limits,
+            min_scores,
+            pcts,
+        )
+
+    def _run_batch_traced(self, snapshot, params, requests):
+        """Synchronous pack + launch + fetch (warmup / tests)."""
+        import jax
+
         from ..ops.search_kernel import unpack_outputs_np
 
+        b = next(x for x in BATCH_SIZES if x >= len(requests))
         packed = np.asarray(
-            jax.device_get(
-                self._batch_fn(params)(
-                    tier_view_for_search(snapshot.file_view),
-                    tier_view_for_search(snapshot.mem_view),
-                    qs,
-                    lens,
-                    limits,
-                    min_scores,
-                    pcts,
-                )
-            )
+            jax.device_get(self._launch(snapshot, params, self._pack_batch(params, requests, b)))
         )
+        self._warm.add(self._shape_key(snapshot, params, b))
         out = unpack_outputs_np(packed, params.out_len)
         return [
-            self._materialize({k: v[i] for k, v in out.items()}) for i in range(n)
+            self._materialize({k: v[i] for k, v in out.items()}) for i in range(len(requests))
         ]
 
     def warm(

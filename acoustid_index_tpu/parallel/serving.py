@@ -21,13 +21,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
-import numpy as np
-
-from ..engine.searcher import (
-    BATCH_SIZES,
-    BatchingSearcher,
-    _params_for,
-)
+from ..engine.searcher import BatchingSearcher
 from ..engine.segments import FILE_SLOTS, MEMORY_SLOTS, SEARCH_TIER_FIELDS, slot_bucket
 from .sharded import AXIS, _pack_tier_sharded, make_mesh, sharded_search_batch_packed
 
@@ -61,33 +55,10 @@ class ShardedBatchingSearcher(BatchingSearcher):
 
     # ---- batch execution ----
 
-    def _run_batch_traced(self, snapshot, params, requests):
-        import jax
-
-        n = len(requests)
-        b = next(x for x in BATCH_SIZES if x >= n)
-        qs = np.zeros((b, params.query_len), np.uint32)
-        lens = np.zeros(b, np.int32)
-        limits = np.ones(b, np.int32)
-        min_scores = np.zeros(b, np.int32)
-        pcts = np.zeros(b, np.int32)
-        for i, (padded, q_len, options) in enumerate(requests):
-            qs[i] = padded
-            lens[i] = q_len
-            limits[i] = options.max_results
-            min_scores[i] = options.min_score
-            pcts[i] = options.min_score_pct
-
-        from ..ops.search_kernel import unpack_outputs_np
-
+    def _launch(self, snapshot, params, arrays):
+        qs, lens, limits, min_scores, pcts = arrays
         fview = {k: snapshot.file_view[k] for k in SEARCH_TIER_FIELDS}
         mview = {k: snapshot.mem_view[k] for k in SEARCH_TIER_FIELDS}
-        packed = np.asarray(
-            jax.device_get(
-                sharded_search_batch_packed(
-                    params, self.mesh, fview, mview, qs, lens, limits, min_scores, pcts
-                )
-            )
+        return sharded_search_batch_packed(
+            params, self.mesh, fview, mview, qs, lens, limits, min_scores, pcts
         )
-        out = unpack_outputs_np(packed, params.out_len)
-        return [self._materialize({k: v[i] for k, v in out.items()}) for i in range(n)]

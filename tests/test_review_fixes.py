@@ -108,25 +108,40 @@ def test_candidate_cap_overflow_sets_truncated(tmp_path):
 
 
 def test_deadline_expires_while_batched(tmp_path):
-    """A follower coalesced behind a leader that never finishes gets a
-    SearchTimeout at its deadline, not an indefinite hang."""
+    """A request still queued behind a wedged dispatch at its deadline gets a
+    SearchTimeout, not an indefinite hang."""
+    import threading
+
     from acoustid_index_tpu.engine.model import SearchOptions as SO
-    from acoustid_index_tpu.engine.searcher import BatchingSearcher, _BatchGroup
+    from acoustid_index_tpu.engine.searcher import BatchingSearcher
 
     idx = Index.open(str(tmp_path / "idx"), checkpoint_age=None)
     try:
         idx.update([Insert(id=1, hashes=[1, 2])])
         s = BatchingSearcher()
         snap = idx.acquire_reader()
-        key = (id(snap.file_view), id(snap.mem_view), 64, 128)
-        wedged = _BatchGroup(key)
-        wedged.requests.append(object())  # a leader that never completes
-        s._groups[key] = wedged
+
+        release = threading.Event()
+        real_launch = s._launch
+
+        def wedged_launch(snapshot, params, arrays):
+            release.wait(timeout=30)  # a dispatch that stalls the pipeline
+            return real_launch(snapshot, params, arrays)
+
+        s._launch = wedged_launch
+        first = s.submit(snap, [1, 2], SO())  # claims the dispatcher
+        for _ in range(200):  # wait until the wedged dispatch claimed it
+            if first.state != first.PENDING:
+                break
+            time.sleep(0.01)
 
         t0 = time.monotonic()
         with pytest.raises(errors.SearchTimeout):
             s.search(snap, [1, 2], SO(), deadline=time.monotonic() + 0.2)
         assert time.monotonic() - t0 < 5.0
+        release.set()
+        assert first.result()[0][0].id == 1  # the wedged batch still resolves
+        s.close()
     finally:
         idx.close()
 
