@@ -1,0 +1,103 @@
+"""Variant of block_lookup_pair writing per-lookup results to an SMEM
+scalar output instead of one-hot merges into an (8,128) VMEM tile."""
+import functools
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 1024
+ROWS = BLOCK // 128
+G = int(os.environ.get("G", "8"))
+
+
+def block_lookup_pair_smem(hashes, blk0, blk1, queries):
+    L = queries.shape[0]
+    TILE = 1024
+    L_pad = -(-L // TILE) * TILE
+    if L_pad != L:
+        pad = L_pad - L
+        blk0 = jnp.concatenate([blk0, jnp.zeros(pad, blk0.dtype)])
+        blk1 = jnp.concatenate([blk1, jnp.zeros(pad, blk1.dtype)])
+        queries = jnp.concatenate([queries, jnp.zeros(pad, queries.dtype)])
+    hashes2d = hashes.reshape(-1, 128)
+
+    def kernel(blk0_ref, blk1_ref, q_ref, *refs):
+        h_refs = refs[: 2 * G]
+        comp_ref = refs[2 * G]
+        i = pl.program_id(0)
+        base = i * G
+        for k in range(G):
+            j = base + k
+            q = q_ref[j]
+            flag = (blk1_ref[j] > 0).astype(jnp.int32)
+            b0 = h_refs[2 * k][:, :]
+            b1 = h_refs[2 * k + 1][:, :]
+            v0 = (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
+            v1 = (b1 < q).astype(jnp.int32) + ((b1 == q).astype(jnp.int32) << 12)
+            comp = jnp.sum(v0 + flag * v1)
+            comp_ref[j] = comp
+
+    def in_spec(k):
+        half = k % 2
+        idx = k // 2
+        if half == 0:
+            return pl.BlockSpec((ROWS, 128), lambda i, b0, b1, q, idx=idx: (b0[i * G + idx], 0))
+        return pl.BlockSpec((ROWS, 128), lambda i, b0, b1, q, idx=idx: (b1[i * G + idx], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(L_pad // G,),
+        in_specs=[in_spec(k) for k in range(2 * G)],
+        out_specs=[
+            pl.BlockSpec(None, lambda i, b0, b1, q: (0,), memory_space=pltpu.MemorySpace.SMEM),
+        ],
+    )
+    comp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((L_pad,), jnp.int32),),
+    )(blk0, blk1, queries, *([hashes2d] * (2 * G)))[0]
+    comp = comp[:L]
+    lt = comp & jnp.int32(0xFFF)
+    eq = comp >> 12
+    lo = blk0[:L] * BLOCK + lt
+    return lo, eq
+
+
+N = 1 << 28
+hashes = jnp.arange(N, dtype=jnp.uint32)
+nblk = N // BLOCK
+L = 32768
+rng = np.random.default_rng(0)
+
+
+@jax.jit
+def run(h, b0, b1, q):
+    lo, cnt = block_lookup_pair_smem(h, b0, b1, q)
+    return lo.sum() + cnt.sum()
+
+
+# correctness check vs the production kernel
+from acoustid_index_tpu.ops.pallas_lookup import block_lookup_pair
+
+b0 = jnp.asarray(rng.integers(1, nblk - 1, L), jnp.int32)
+b1 = jnp.asarray(np.minimum(np.asarray(b0) + 1, nblk - 1), jnp.int32)
+q = jnp.asarray(rng.integers(0, 2**32, L, dtype=np.uint32))
+lo_a, cnt_a = jax.jit(block_lookup_pair)(hashes, b0, b1, q)
+lo_b, cnt_b = jax.jit(block_lookup_pair_smem)(hashes, b0, b1, q)
+assert np.array_equal(np.asarray(lo_a), np.asarray(lo_b)), "lo mismatch"
+assert np.array_equal(np.asarray(cnt_a), np.asarray(cnt_b)), "cnt mismatch"
+print("parity ok", flush=True)
+
+r = run(hashes, b0, b1, q); r.block_until_ready()
+t0 = time.time()
+for _ in range(10):
+    r = run(hashes, b0, b1, q)
+r.block_until_ready()
+dt = (time.time() - t0) / 10
+print(f"smem G={G}: {dt*1000:.2f}ms  ({dt/L*1e9:.0f}ns/lookup)", flush=True)

@@ -498,45 +498,34 @@ class BatchingSearcher(Searcher):
 
     # ---- batch execution ----
 
-    def _batch_fn(self, params: SearchParams):
-        from ..ops.search_kernel import search_segments_batch_packed
-        import functools
-
-        return functools.partial(search_segments_batch_packed, params)
-
     @staticmethod
     def _pack_batch(params: SearchParams, requests, b: Optional[int] = None):
-        """(padded, q_len, options) tuples -> batch arrays padded to `b`."""
+        """(padded, q_len, options) tuples -> ONE packed (b, Q+4) u32 input
+        array (each host->device array costs a sync round trip on tunneled
+        dev chips — see ops.search_kernel.pack_inputs_np)."""
         n = len(requests)
         if b is None:
             b = next(x for x in BATCH_SIZES if x >= n)
-        qs = np.zeros((b, params.query_len), np.uint32)
-        lens = np.zeros(b, np.int32)
-        limits = np.ones(b, np.int32)
-        min_scores = np.zeros(b, np.int32)
-        pcts = np.zeros(b, np.int32)
+        packed = np.zeros((b, params.query_len + 4), np.uint32)
+        packed[:, params.query_len + 1] = 1  # limit >= 1 for padding rows
         for i, (padded, q_len, options) in enumerate(requests):
-            qs[i] = padded
-            lens[i] = q_len
-            limits[i] = options.max_results
-            min_scores[i] = options.min_score
-            pcts[i] = options.min_score_pct
-        return qs, lens, limits, min_scores, pcts
+            packed[i, : params.query_len] = padded
+            packed[i, params.query_len] = q_len
+            packed[i, params.query_len + 1] = options.max_results
+            packed[i, params.query_len + 2] = options.min_score
+            packed[i, params.query_len + 3] = options.min_score_pct
+        return packed
 
-    def _launch(self, snapshot, params: SearchParams, arrays):
+    def _launch(self, snapshot, params: SearchParams, packed_in):
         """Launch the batched program; returns the device handle of the ONE
-        packed output array (each extra device->host array costs a full sync
-        round trip on tunneled dev chips).  Overridden by the mesh-sharded
-        searcher."""
-        qs, lens, limits, min_scores, pcts = arrays
-        return self._batch_fn(params)(
+        packed output array.  Overridden by the mesh-sharded searcher."""
+        from ..ops.search_kernel import search_segments_batch_packed_io
+
+        return search_segments_batch_packed_io(
+            params,
             tier_view_for_search(snapshot.file_view),
             tier_view_for_search(snapshot.mem_view),
-            qs,
-            lens,
-            limits,
-            min_scores,
-            pcts,
+            packed_in,
         )
 
     def _run_batch_traced(self, snapshot, params, requests):

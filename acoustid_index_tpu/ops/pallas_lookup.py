@@ -150,10 +150,70 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
 
 
 def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
-    """Single-block (lo, count) lookup — for tables of UNIQUE keys (the
-    mention tables), where a key never spans blocks.  The second operand is
-    pinned to block 0 and masked out, so its DMA collapses to nothing."""
-    return block_lookup_pair(hashes, blk, jnp.zeros_like(blk), queries)
+    """Single-block (lo, count) lookup — for lookups that never need a
+    two-block window: tables of UNIQUE keys (the mention tables, where a key
+    never spans blocks) and the top-index search (whose result is refined by
+    the pair kernel anyway).
+
+    This is NOT the pair kernel with a dead second operand: the kernel's
+    cost floor is the pipeline's per-operand-per-step bookkeeping (~83ns,
+    measured body-content- and DMA-pattern-insensitive — an empty body costs
+    the same), so carrying a dead operand doubles the price.  One operand
+    per lookup runs ~2x faster."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = int(os.environ.get("AITPU_LOOKUP_G", "8"))
+    TILE = 1024
+
+    L = queries.shape[0]
+    L_pad = -(-L // TILE) * TILE
+    if L_pad != L:
+        pad = L_pad - L
+        blk = jnp.concatenate([blk, jnp.zeros(pad, blk.dtype)])
+        queries = jnp.concatenate([queries, jnp.zeros(pad, queries.dtype)])
+    hashes2d = hashes.reshape(-1, 128)
+
+    def kernel(blk_ref, q_ref, *refs):
+        h_refs = refs[:G]
+        comp_ref = refs[G]
+        i = pl.program_id(0)
+        base = i * G
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        comp_tile = comp_ref[:, :]
+        for k in range(G):
+            j = base + k
+            q = q_ref[j]
+            b0 = h_refs[k][:, :]
+            comp = jnp.sum((b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12))
+            row = (j % TILE) // 128
+            lane = j % 128
+            mask = jnp.logical_and(rows == row, lanes == lane)
+            comp_tile = jnp.where(mask, comp, comp_tile)
+        comp_ref[:, :] = comp_tile
+
+    def in_spec(idx):
+        return pl.BlockSpec((ROWS, 128), lambda i, b, q, idx=idx: (b[i * G + idx], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # blk, queries
+        grid=(L_pad // G,),
+        in_specs=[in_spec(k) for k in range(G)],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
+        ],
+    )
+    comp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),),
+        interpret=_use_interpret(),
+    )(blk, queries, *([hashes2d] * G))[0]
+    comp = comp.reshape(-1)[:L]
+    lt = comp & jnp.int32(0xFFF)
+    eq = comp >> 12
+    lo = blk[:L] * BLOCK + lt
+    return lo, eq
 
 
 def tier_ranges_blocked(tier, queries, valid_q, cap_k):

@@ -55,8 +55,15 @@ class ShardedBatchingSearcher(BatchingSearcher):
 
     # ---- batch execution ----
 
-    def _launch(self, snapshot, params, arrays):
-        qs, lens, limits, min_scores, pcts = arrays
+    def _launch(self, snapshot, params, packed_in):
+        import numpy as np
+
+        Q = params.query_len
+        qs = packed_in[:, :Q]
+        lens = packed_in[:, Q].astype(np.int32)
+        limits = packed_in[:, Q + 1].astype(np.int32)
+        min_scores = packed_in[:, Q + 2].astype(np.int32)
+        pcts = packed_in[:, Q + 3].astype(np.int32)
         fview = {k: snapshot.file_view[k] for k in SEARCH_TIER_FIELDS}
         mview = {k: snapshot.mem_view[k] for k in SEARCH_TIER_FIELDS}
         return sharded_search_batch_packed(

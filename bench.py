@@ -131,7 +131,11 @@ def make_queries(rng, batch, query_len, n_docs):
 def kernel_bench(jax, jnp):
     from acoustid_index_tpu.engine.searcher import _params_for
     from acoustid_index_tpu.ops.build import sort_postings
-    from acoustid_index_tpu.ops.search_kernel import search_segments_batch
+    from acoustid_index_tpu.ops.search_kernel import (
+        pack_inputs_np,
+        search_segments_batch,
+        search_segments_batch_packed_io,
+    )
 
     rng = np.random.default_rng(7)
     t0 = time.time()
@@ -203,11 +207,20 @@ def kernel_bench(jax, jnp):
     assert hit_rate > 0.95, f"self-retrieval hit rate {hit_rate}"
     log(f"kernel compiled ({compile_s:.0f}s), hit rate {hit_rate}")
 
+    # Latency and throughput use the fully PACKED program — the one serving
+    # dispatches — so every batch costs exactly one host->device and one
+    # device->host transfer (unpacked forms pay a tunnel round trip PER
+    # array: 5 in, 5 out).
+    def packed_call(qs, lens):
+        pin = pack_inputs_np(qs, lens, limits, min_scores, pcts)
+        return search_segments_batch_packed_io(params, file_tier, mem_tier, pin)
+
+    jax.block_until_ready(packed_call(qs, lens))
     lat = []
     for _ in range(ROUNDS):
         targets, qs, lens = make_queries(rngq, BATCH, params.query_len, N_DOCS)
         t0 = time.time()
-        out = search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts)
+        out = packed_call(qs, lens)
         jax.block_until_ready(out)
         lat.append(time.time() - t0)
     lat_ms = np.array(lat) * 1000.0
@@ -216,10 +229,11 @@ def kernel_bench(jax, jnp):
     t_start = time.time()
     pending = []
     for _, qs, lens in batches:
-        pending.append(search_segments_batch(params, file_tier, mem_tier, qs, lens, limits, min_scores, pcts))
-        if len(pending) > 2:
-            jax.block_until_ready(pending.pop(0))
-    jax.block_until_ready(pending)
+        pending.append(packed_call(qs, lens))
+        if len(pending) > 3:
+            np.asarray(jax.device_get(pending.pop(0)))
+    for h in pending:
+        np.asarray(jax.device_get(h))
     wall = time.time() - t_start
     qps = ROUNDS * BATCH / wall
     return {
