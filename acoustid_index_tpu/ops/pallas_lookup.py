@@ -216,6 +216,79 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
     return lo, eq
 
 
+def _resident_max_bytes() -> int:
+    # VMEM is ~16MB/core on v5e; the resident operand may be double-buffered
+    # by the pipeline, so cap the table at 6MB (covers the sampled top index
+    # of a ~1.6B-posting table).
+    return int(os.environ.get("AITPU_RESIDENT_MAX_BYTES", str(6 << 20)))
+
+
+def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
+    """Single-block (lo, count) lookup with the WHOLE table VMEM-resident.
+
+    The DMA-pipeline kernels above are bookkeeping-bound: ~83ns per operand
+    per grid step no matter what the body does or whether the DMA is
+    skipped.  For small tables — the sampled top index is ~1MB per 268M
+    postings — that floor is avoidable entirely: the table becomes ONE
+    operand with a CONSTANT index map (the pipeline loads it once; every
+    later grid step hits the same-block skip) and each lookup
+    dynamic-slices its 1024-entry chunk straight out of VMEM, so the
+    per-lookup cost is pure VPU compare work.
+
+    Caller guarantees hashes.nbytes <= _resident_max_bytes() and that
+    hashes is padded to a multiple of BLOCK entries."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = int(os.environ.get("AITPU_LOOKUP_G", "8"))
+    TILE = 1024
+
+    L = queries.shape[0]
+    L_pad = -(-L // TILE) * TILE
+    if L_pad != L:
+        pad = L_pad - L
+        blk = jnp.concatenate([blk, jnp.zeros(pad, blk.dtype)])
+        queries = jnp.concatenate([queries, jnp.zeros(pad, queries.dtype)])
+    hashes2d = hashes.reshape(-1, 128)
+    r_all = hashes2d.shape[0]
+
+    def kernel(blk_ref, q_ref, h_ref, comp_ref):
+        i = pl.program_id(0)
+        base = i * G
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        comp_tile = comp_ref[:, :]
+        for k in range(G):
+            j = base + k
+            q = q_ref[j]
+            b0 = h_ref[pl.ds(blk_ref[j] * ROWS, ROWS), :]
+            comp = jnp.sum((b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12))
+            row = (j % TILE) // 128
+            lane = j % 128
+            mask = jnp.logical_and(rows == row, lanes == lane)
+            comp_tile = jnp.where(mask, comp, comp_tile)
+        comp_ref[:, :] = comp_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # blk, queries
+        grid=(L_pad // G,),
+        in_specs=[pl.BlockSpec((r_all, 128), lambda i, b, q: (0, 0))],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
+        ],
+    )
+    comp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),),
+        interpret=_use_interpret(),
+    )(blk, queries, hashes2d)[0]
+    comp = comp.reshape(-1)[:L]
+    lt = comp & jnp.int32(0xFFF)
+    eq = comp >> 12
+    lo = blk[:L] * BLOCK + lt
+    return lo, eq
+
+
 def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     """Two-level replacement for the per-tier range phase.
 
@@ -257,7 +330,10 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
         mini = bi[::BLOCK]
         ub2 = jnp.sum((mini[None, :] <= qf[:, None]).astype(jnp.int32), axis=1)
         c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
-        lo_c, cnt_c = block_lookup(bi, c, qf)
+        if bi.shape[0] * 4 <= _resident_max_bytes():
+            lo_c, cnt_c = block_lookup_resident(bi, c, qf)
+        else:
+            lo_c, cnt_c = block_lookup(bi, c, qf)
         ub = (lo_c + cnt_c).reshape(B, S, Q)
         eq_top = cnt_c.reshape(B, S, Q)  # equal top entries in landing chunk
     else:
@@ -308,11 +384,41 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     b0 = jnp.where(live, b0, 0)
     b1 = jnp.where(jnp.logical_and(live, enabled), b1, 0)
 
-    # Stage 2: Pallas two-block scan over the flattened lookup stream.
+    # Stage 2: single-operand Pallas scan of each lookup's LANDING block.
+    # The pipeline's cost is per operand per grid step (DMA-skip or not),
+    # so the two-block window kernel costs 2x the single-block one — but
+    # only straddling runs actually need the window, and the top index
+    # already told us which lookups those are (step_back | enabled).  Run
+    # the whole stream single-block, then re-run just the straddlers — a
+    # tiny compacted stream of W_CAP slots — through the pair kernel and
+    # scatter the exact (lo, cnt) over the landing-block-truncated ones.
     lookups = jnp.broadcast_to(q3, (B, S, Q)).reshape(-1)
-    lo_flat, cnt_flat = block_lookup_pair(
-        tier["hashes"], b0.reshape(-1), b1.reshape(-1), lookups
+    L = lookups.shape[0]
+    window = jnp.logical_and(live, jnp.logical_or(step_back, enabled)).reshape(-1)
+    blk_main = jnp.where(live, blk, 0).reshape(-1)
+    lo_flat, cnt_flat = block_lookup(tier["hashes"], blk_main, lookups)
+
+    w_cap = min(int(os.environ.get("AITPU_WINDOW_CAP", "2048")), L)
+    r = jnp.cumsum(window.astype(jnp.int32)) - 1
+    slot = jnp.where(jnp.logical_and(window, r < w_cap), r, w_cap)
+    sel = (
+        jnp.zeros(w_cap + 1, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(L, dtype=jnp.int32), mode="drop")[:w_cap]
     )
+    n_w = jnp.sum(window.astype(jnp.int32))
+    valid_w = jnp.arange(w_cap, dtype=jnp.int32) < n_w
+    fb0 = jnp.where(valid_w, b0.reshape(-1)[sel], 0)
+    fb1 = jnp.where(valid_w, b1.reshape(-1)[sel], 0)
+    fq = jnp.where(valid_w, lookups[sel], jnp.uint32(0))
+    lo_fix, cnt_fix = block_lookup_pair(tier["hashes"], fb0, fb1, fq)
+    tgt = jnp.where(valid_w, sel, L)  # dead slots scatter out of range
+    lo_flat = lo_flat.at[tgt].set(lo_fix, mode="drop")
+    cnt_flat = cnt_flat.at[tgt].set(cnt_fix, mode="drop")
+    # Straddlers beyond w_cap keep their landing-block-truncated values —
+    # flagged below like every other scan-bound truncation.
+    w_over = n_w > w_cap
+
     lo = lo_flat.reshape(B, S, Q)
     cnt = cnt_flat.reshape(B, S, Q)
 
@@ -328,8 +434,11 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     # before the two-block window (the reference's scan bounds truncate the
     # same way, surfaced the same way).
     truncated = jnp.logical_or(
-        jnp.any(jnp.logical_and(cnt >= kcap, live)),
-        jnp.any(jnp.logical_and(spill, live)),
+        jnp.logical_or(
+            jnp.any(jnp.logical_and(cnt >= kcap, live)),
+            jnp.any(jnp.logical_and(spill, live)),
+        ),
+        w_over,
     )
     return lo, cnt, truncated
 

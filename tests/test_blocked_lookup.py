@@ -92,3 +92,55 @@ def test_absent_hash_and_sentinel():
     assert cnt == 0
     lo, cnt, trunc = run_blocked(tier, [0xFFFFFFFF])  # sentinel-valued query
     assert cnt == 0  # padding must not count
+
+
+def _multi_straddle_tier():
+    """A table with an equal-hash run straddling every block boundary."""
+    n = 6 * BLOCK
+    hashes = np.arange(n, dtype=np.uint32) * 3  # strictly increasing, gaps
+    straddlers = []
+    for b in range(1, 6):
+        h = hashes[b * BLOCK]  # value at the boundary
+        hashes[b * BLOCK - 2 : b * BLOCK + 2] = h  # 4-long run across it
+        straddlers.append(int(h))
+    tier, n_live = make_tier(hashes)
+    return tier, n_live, straddlers
+
+
+def test_many_straddlers_all_exact():
+    tier, n_live, straddlers = _multi_straddle_tier()
+    want_lo, want_cnt = reference_bounds(tier, n_live, straddlers)
+    for i, h in enumerate(straddlers):
+        lo, cnt, trunc = run_blocked(tier, [h])
+        assert (lo, cnt) == (int(want_lo[i]), int(want_cnt[i]))
+        assert not trunc
+
+
+def test_window_cap_overflow_flags_truncation(monkeypatch):
+    """With the straddle-fixup stream capped below the number of straddling
+    lookups, the overflowed ones degrade to landing-block-truncated counts
+    and the truncation flag is raised (never silent corruption)."""
+    monkeypatch.setenv("AITPU_WINDOW_CAP", "1")
+    tier, n_live, straddlers = _multi_straddle_tier()
+    q = np.zeros(64, np.uint32)
+    q[: len(straddlers)] = straddlers
+    import jax.numpy as jnp
+
+    lo, cnt, trunc = tier_ranges_blocked(
+        tier,
+        jnp.asarray(q)[None, :],
+        jnp.asarray(np.arange(64) < len(straddlers))[None, :],
+        2048,
+    )
+    lo = np.asarray(lo)[0, 0]
+    cnt = np.asarray(cnt)[0, 0]
+    assert bool(trunc)  # overflow surfaced
+    want_lo, want_cnt = reference_bounds(tier, n_live, straddlers)
+    h = np.asarray(tier["hashes"])
+    exact = 0
+    for i, hq in enumerate(straddlers):
+        # Every reported range contains only equal postings (sane truncation).
+        assert np.all(h[lo[i] : lo[i] + cnt[i]] == hq)
+        assert cnt[i] <= want_cnt[i]
+        exact += int(cnt[i] == want_cnt[i] and lo[i] == want_lo[i])
+    assert exact >= 1  # the fixup stream served its one slot
