@@ -379,6 +379,52 @@ def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat, n_mentioning=None)
 P_SMALL = 256  # fast-path postings budget (see _search_batch_impl)
 
 
+def _score_select_uniform(p: SearchParams, d, inv, limit, min_score, pct):
+    """Stages 3-7 for the UNIFORM-ORDINAL case: at most one postings-bearing
+    and one mention-bearing segment in the whole snapshot (the fully-merged
+    steady state).  Every hit's ordinal is then the winner and supersession
+    is structurally impossible, so scoring is pure run counting and ranking
+    is comparison counting — (P, P) compares on the VPU plus one-hot MXU
+    extraction, NO sorts.  Semantics are identical to the sort path
+    (SearchResults.finish, common.zig:131-167): min_score filter, pct
+    cutoff anchored on the best candidate, score-desc/id-asc order, limit.
+    """
+    P = d.shape[0]
+    valid = inv == 0
+    both = jnp.logical_and(valid[:, None], valid[None, :])
+    eq = jnp.logical_and(d[:, None] == d[None, :], both)  # (P, P)
+    score = jnp.sum(eq.astype(jnp.int32), axis=1)
+    pos = jnp.arange(P, dtype=jnp.int32)
+    dup_before = jnp.any(jnp.logical_and(eq, pos[None, :] < pos[:, None]), axis=1)
+    cand = jnp.logical_and(valid, jnp.logical_and(~dup_before, score >= min_score))
+
+    best = jnp.max(jnp.where(cand, score, 0))
+    cutoff = jnp.maximum(min_score, best * pct // 100)
+    keep = jnp.logical_and(cand, score >= cutoff)
+
+    # Rank kept candidates by (score desc, id asc): composite key compare.
+    hi = jnp.where(keep, jnp.uint32(P) - score.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    less = jnp.logical_or(
+        hi[None, :] < hi[:, None],
+        jnp.logical_and(hi[None, :] == hi[:, None], d[None, :] < d[:, None]),
+    )
+    rank = jnp.sum(jnp.logical_and(less, keep[None, :]).astype(jnp.int32), axis=1)
+    limit_eff = jnp.minimum(limit, jnp.int32(p.out_len))
+    final = jnp.logical_and(keep, rank < limit_eff)
+    n = jnp.sum(final.astype(jnp.int32))
+
+    # One-hot extraction into output order (u32 ids exact via 16-bit halves).
+    r_iota = jnp.arange(p.out_len, dtype=jnp.int32)
+    onehot = jnp.logical_and(final[None, :], r_iota[:, None] == rank[None, :]).astype(
+        jnp.float32
+    )  # (out_len, P)
+    id_lo = jnp.dot(onehot, (d & jnp.uint32(0xFFFF)).astype(jnp.float32), preferred_element_type=jnp.float32)
+    id_hi = jnp.dot(onehot, (d >> 16).astype(jnp.float32), preferred_element_type=jnp.float32)
+    out_ids = (id_hi.astype(jnp.uint32) << 16) + id_lo.astype(jnp.uint32)
+    out_scores = jnp.dot(onehot, score.astype(jnp.float32), preferred_element_type=jnp.float32).astype(jnp.int32)
+    return {"ids": out_ids, "scores": out_scores, "count": n}
+
+
 def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):
     """(B, Q) batch: one range phase for the whole batch (Pallas-friendly),
     then plan + score vmapped per query."""
@@ -417,30 +463,69 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         totals_rough = f_cnt.reshape(B, -1).sum(axis=1) + m_cnt.reshape(B, -1).sum(axis=1)
         small = jnp.max(totals_rough) <= P_SMALL
 
-        def mem_branch(use_mem):
-            return lambda _: jax.lax.cond(
-                small, rank_all(use_mem, p_small), rank_all(use_mem, p), None
+    def standard(_):
+        if small_ok:
+
+            def mem_branch(use_mem):
+                return lambda _: jax.lax.cond(
+                    small, rank_all(use_mem, p_small), rank_all(use_mem, p), None
+                )
+
+            cd, co, csc, c_valid, totals, overs = jax.lax.cond(
+                has_mem, mem_branch(True), mem_branch(False), None
+            )
+        else:
+            cd, co, csc, c_valid, totals, overs = jax.lax.cond(
+                has_mem, rank_all(True, p), rank_all(False, p), None
             )
 
-        cd, co, csc, c_valid, totals, overs = jax.lax.cond(
-            has_mem, mem_branch(True), mem_branch(False), None
-        )
-    else:
-        cd, co, csc, c_valid, totals, overs = jax.lax.cond(
-            has_mem, rank_all(True, p), rank_all(False, p), None
-        )
+        # Supersession runs once for the whole batch's candidate stream so
+        # the blocked mention lookup never sits under vmap.
+        newest = _batch_newest(file_tier, mem_tier, cd.reshape(-1), c_valid.reshape(-1)).reshape(cd.shape)
 
-    # Supersession runs once for the whole batch's candidate stream so the
-    # blocked mention lookup never sits under vmap.
-    newest = _batch_newest(file_tier, mem_tier, cd.reshape(-1), c_valid.reshape(-1)).reshape(cd.shape)
+        def select_query(cd1, co1, csc1, cv1, nw1, limit, min_score, pct, total, over):
+            out = _final_select(p, cd1, co1, csc1, cv1, nw1, limit, min_score, pct)
+            out["postings_scanned"] = total
+            out["truncated"] = jnp.logical_or(trunc, over)
+            return out
 
-    def select_query(cd1, co1, csc1, cv1, nw1, limit, min_score, pct, total, over):
-        out = _final_select(p, cd1, co1, csc1, cv1, nw1, limit, min_score, pct)
-        out["postings_scanned"] = total
-        out["truncated"] = jnp.logical_or(trunc, over)
-        return out
+        return jax.vmap(select_query)(cd, co, csc, c_valid, newest, limits, min_scores, pcts, totals, overs)
 
-    return jax.vmap(select_query)(cd, co, csc, c_valid, newest, limits, min_scores, pcts, totals, overs)
+    if not small_ok:
+        return standard(None)
+
+    # Uniform-ordinal fast path: with at most one postings-bearing and one
+    # mention-bearing segment (the fully-merged steady state) and a small
+    # batch, stages 3-7 run entirely sort-free (see _score_select_uniform).
+    n_postings_live = jnp.sum((file_tier["seg_len"] > 0).astype(jnp.int32)) + jnp.sum(
+        (mem_tier["seg_len"] > 0).astype(jnp.int32)
+    )
+    uniform_ok = jnp.logical_and(
+        small,
+        jnp.logical_and(n_postings_live <= 1, segments_mentioning(file_tier, mem_tier) <= 1),
+    )
+
+    def uniform(use_mem):
+        def branch(_):
+            def one(f_lo1, f_cnt1, m_lo1, m_cnt1, limit, min_score, pct):
+                d, o, inv, total, over = _plan_and_gather(
+                    p_small, file_tier, mem_tier, f_lo1, f_cnt1, m_lo1, m_cnt1, use_mem=use_mem
+                )
+                out = _score_select_uniform(p, d, inv, limit, min_score, pct)
+                out["postings_scanned"] = total
+                out["truncated"] = jnp.logical_or(trunc, over)
+                return out
+
+            return jax.vmap(one)(f_lo, f_cnt, m_lo, m_cnt, limits, min_scores, pcts)
+
+        return branch
+
+    return jax.lax.cond(
+        uniform_ok,
+        lambda _: jax.lax.cond(has_mem, uniform(True), uniform(False), None),
+        standard,
+        None,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=0)

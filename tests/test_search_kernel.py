@@ -159,3 +159,24 @@ def test_randomized_parity(seed):
         min_score = int(rng.integers(0, 3))
         pct = int(rng.choice([0, 10, 50, 90]))
         run_both(file_segs, mem_segs, query, limit=limit, min_score=min_score, pct=pct)
+
+
+def test_uniform_fast_path_matches_sort_path():
+    """The sort-free uniform-ordinal branch (exactly one live segment) and
+    the sort branch (several segments) must agree: split the same corpus
+    into two disjoint segments — scoring semantics don't depend on
+    segmentation when nothing supersedes — and compare result lists."""
+    rng = np.random.default_rng(42)
+    docs = {
+        i: [int(h) for h in rng.integers(0, 50, rng.integers(2, 9))] for i in range(1, 30)
+    }
+    one = [seg_from_docs(docs, commit_id=1)]
+    half = {i: h for i, h in docs.items() if i < 15}
+    rest = {i: h for i, h in docs.items() if i >= 15}
+    two = [seg_from_docs(half, commit_id=1), seg_from_docs(rest, commit_id=2)]
+    for _ in range(12):
+        q = [int(h) for h in rng.integers(0, 50, rng.integers(2, 12))]
+        pct = int(rng.choice([0, 10, 80]))
+        r1 = run_both([], one, q, limit=7, min_score=1, pct=pct)
+        r2 = run_both(two, [], q, limit=7, min_score=1, pct=pct)
+        assert r1 == r2, (q, r1, r2)
