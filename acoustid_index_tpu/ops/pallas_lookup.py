@@ -68,7 +68,7 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     # Lookups per grid step (2 pipelined block DMAs each).  Bigger G
     # amortizes the fixed per-step cost (output tile read-modify-write +
     # grid bookkeeping) over more lookups; must divide TILE.
-    G = int(os.environ.get("AITPU_LOOKUP_G", "8"))
+    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
     TILE = 1024  # lookups per (8, 128) output tile
 
     L = queries.shape[0]
@@ -162,7 +162,7 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
     per lookup runs ~2x faster."""
     from jax.experimental.pallas import tpu as pltpu
 
-    G = int(os.environ.get("AITPU_LOOKUP_G", "8"))
+    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
     TILE = 1024
 
     L = queries.shape[0]
@@ -239,7 +239,7 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array)
     hashes is padded to a multiple of BLOCK entries."""
     from jax.experimental.pallas import tpu as pltpu
 
-    G = int(os.environ.get("AITPU_LOOKUP_G", "8"))
+    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
     TILE = 1024
 
     L = queries.shape[0]
