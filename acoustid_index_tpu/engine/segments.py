@@ -16,8 +16,9 @@ Device packing is two-tier:
   * the MEMORY tier holds recent write batches, bounded by the checkpoint
     threshold, and repacks (cheaply) on every write.
 
-Capacities are bucketed to powers of two and slot counts are fixed, so XLA
-compiles a handful of programs regardless of index size.
+Capacities are bucketed to half-octaves ({2^k, 1.5*2^k} — see _bucket) and
+slot counts are fixed, so XLA compiles a handful of programs regardless of
+index size while HBM waste stays under 33%.
 """
 
 from __future__ import annotations

@@ -398,7 +398,12 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     blk_main = jnp.where(live, blk, 0).reshape(-1)
     lo_flat, cnt_flat = block_lookup(tier["hashes"], blk_main, lookups)
 
-    w_cap = min(int(os.environ.get("AITPU_WINDOW_CAP", "2048")), L)
+    # The fixup stream must cover realistic straddler loads: a hot hash
+    # whose run crosses a block boundary consumes one slot per batch row
+    # that queries it, so the cap scales with the stream (L/16 = full
+    # coverage of 16 such hashes shared across a whole batch) with a 2048
+    # floor.  Overflow degrades to flagged truncation, never corruption.
+    w_cap = min(max(int(os.environ.get("AITPU_WINDOW_CAP", "2048")), L // 16), L)
     r = jnp.cumsum(window.astype(jnp.int32)) - 1
     slot = jnp.where(jnp.logical_and(window, r < w_cap), r, w_cap)
     sel = (
