@@ -243,11 +243,18 @@ def kernel_bench(jax, jnp):
         jax, params, file_tier, mem_tier, pack_inputs_np(qs, lens, limits, min_scores, pcts), BATCH
     )
 
+    # Single-query device latency (the attached-chip serving latency floor:
+    # a b=1 dispatch with no batching wait).
+    pin1 = pack_inputs_np(qs[:1], lens[:1], limits[:1], min_scores[:1], pcts[:1])
+    qps1 = device_qps_fori(jax, params, file_tier, mem_tier, pin1, 1)
+    log(f"single-query device latency: {1000.0 / qps1:.2f}ms")
+
     return {
         "qps": device_qps,
         "tunneled_pipeline_qps": tunneled_qps,
         "p50_batch_ms": float(np.percentile(lat_ms, 50)),
         "p99_batch_ms": float(np.percentile(lat_ms, 99)),
+        "device_batch1_ms": 1000.0 / qps1,
         "build_s": build_s,
         "compile_s": compile_s,
         "hit_rate": hit_rate,
@@ -493,6 +500,7 @@ def main():
                 "p50_batch_ms": round(k["p50_batch_ms"], 2),
                 "p99_batch_ms": round(k["p99_batch_ms"], 2),
                 "per_query_p50_ms": round(k["p50_batch_ms"] / BATCH, 3),
+                "device_batch1_ms": round(k["device_batch1_ms"], 3),
                 "build_s": round(k["build_s"], 1),
                 "compile_s": round(k["compile_s"], 1),
                 "self_retrieval_hit_rate": k["hit_rate"],
