@@ -91,7 +91,17 @@ class Searcher:
             return fn
 
     def prepare_query(self, query: Sequence[int]) -> Tuple[np.ndarray, int]:
-        q = np.unique(np.asarray(query, dtype=np.uint32))  # sorted + deduped
+        # Sorted + deduped (the reference's dedup rule, Index.zig:170-176).
+        # Hand-rolled sort+mask: np.unique's dispatch layers cost ~10us per
+        # call, which matters at tens of kqps of tiny queries.
+        q = np.asarray(query, dtype=np.uint32)
+        n = q.shape[0]
+        if n > 1:
+            q = np.sort(q)
+            keep = np.empty(n, bool)
+            keep[0] = True
+            np.not_equal(q[1:], q[:-1], out=keep[1:])
+            q = q[keep]
         if q.shape[0] > MAX_QUERY_HASHES:
             q = q[:MAX_QUERY_HASHES]
         return q, int(q.shape[0])
@@ -242,6 +252,7 @@ class BatchingSearcher(Searcher):
         # the background.
         self._warm = set()
         self._precompiling = set()
+        self._shape_cache: Dict[int, tuple] = {}
 
     # ---- submission ----
 
@@ -422,13 +433,25 @@ class BatchingSearcher(Searcher):
                 continue
             self._collect_q.put((handle, params, batch))
 
-    @staticmethod
-    def _shape_key(snapshot, params: SearchParams, b: int):
+    def _shape_key(self, snapshot, params: SearchParams, b: int):
         """Everything the compiled program's identity depends on: static
-        params, batch bucket, and the (bucketed) view array shapes."""
+        params, batch bucket, and the (bucketed) view array shapes.  Views
+        are immutable, so the shape tuple is cached by view identity (a
+        bounded dict).  An id reused after GC can only misjudge warm/cold
+        bookkeeping (worst case: one inline compile) — never the compiled
+        program itself, which jit keys on the real shapes."""
+        cache = self._shape_cache
 
         def shapes(view):
-            return tuple(sorted((k, tuple(getattr(v, "shape", ()))) for k, v in view.items()))
+            got = cache.get(id(view))
+            if got is None:
+                got = tuple(
+                    sorted((k, tuple(getattr(v, "shape", ()))) for k, v in view.items())
+                )
+                if len(cache) > 64:
+                    cache.clear()
+                cache[id(view)] = got
+            return got
 
         return (params, b, shapes(snapshot.file_view), shapes(snapshot.mem_view))
 
@@ -506,14 +529,18 @@ class BatchingSearcher(Searcher):
         n = len(requests)
         if b is None:
             b = next(x for x in BATCH_SIZES if x >= n)
-        packed = np.zeros((b, params.query_len + 4), np.uint32)
-        packed[:, params.query_len + 1] = 1  # limit >= 1 for padding rows
-        for i, (padded, q_len, options) in enumerate(requests):
-            packed[i, : params.query_len] = padded
-            packed[i, params.query_len] = q_len
-            packed[i, params.query_len + 1] = options.max_results
-            packed[i, params.query_len + 2] = options.min_score
-            packed[i, params.query_len + 3] = options.min_score_pct
+        Q = params.query_len
+        packed = np.zeros((b, Q + 4), np.uint32)
+        packed[:, Q + 1] = 1  # limit >= 1 for padding rows
+        if n:
+            packed[:n, :Q] = np.stack([r[0] for r in requests])
+            packed[:n, Q:] = np.array(
+                [
+                    (q_len, o.max_results, o.min_score, o.min_score_pct)
+                    for _, q_len, o in requests
+                ],
+                dtype=np.uint32,
+            )
         return packed
 
     def _launch(self, snapshot, params: SearchParams, packed_in):
