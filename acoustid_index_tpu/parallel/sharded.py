@@ -214,23 +214,57 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
             params, f_search, m_search, queries, q_lens
         )
 
-        def plan_one(f_lo1, f_cnt1, m_lo1, m_cnt1):
-            return _plan_and_gather(params, f_search, m_search, f_lo1, f_cnt1, m_lo1, m_cnt1)
+        B = queries.shape[0]
 
-        d, o, inv, totals, overs = jax.vmap(plan_one)(f_lo, f_cnt, m_lo, m_cnt)
+        def gather_rank(p_eff):
+            """Per-shard gather at budget p_eff, exact cross-shard combine
+            (concatenate every shard's hit list along the postings axis —
+            ordinals are global, every shard packs the same segment set
+            partitioned by hash, so the combined stream scores exactly like
+            a single-chip stream of the union), then rank."""
 
-        # Exact cross-shard combine: concatenate every shard's hit list along
-        # the postings axis.  Ordinals are global (every shard packs the same
-        # segment set, partitioned by hash), so the combined stream scores
-        # exactly like a single-chip stream of the union.
-        d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
-        o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
-        inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
+            def branch(_):
+                def plan_one(f_lo1, f_cnt1, m_lo1, m_cnt1):
+                    return _plan_and_gather(
+                        p_eff, f_search, m_search, f_lo1, f_cnt1, m_lo1, m_cnt1
+                    )
 
-        def rank_one(d1, o1, inv1, min_score):
-            return _score_rank(params, d1, o1, inv1, min_score)
+                d, o, inv, totals, overs = jax.vmap(plan_one)(f_lo, f_cnt, m_lo, m_cnt)
+                d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
+                o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
+                inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
 
-        cd, co, csc, c_valid, c_over = jax.vmap(rank_one)(d_all, o_all, inv_all, min_scores)
+                def rank_one(d1, o1, inv1, min_score):
+                    return _score_rank(p_eff, d1, o1, inv1, min_score)
+
+                cd, co, csc, c_valid, c_over = jax.vmap(rank_one)(
+                    d_all, o_all, inv_all, min_scores
+                )
+                return cd, co, csc, c_valid, c_over, totals, overs
+
+            return branch
+
+        # Small-budget fast path, mirroring _search_batch_impl: when every
+        # query's postings fit P_SMALL on every shard, the gather, the ICI
+        # all_gather (n*P_SMALL vs n*P rows) and the scoring sorts all run
+        # at the narrow budget.  The predicate is made GLOBAL with a pmax so
+        # all shards take the same lax.cond branch (collectives inside the
+        # branches require a replicated predicate).
+        from ..ops.search_kernel import P_SMALL
+
+        n_dev = mesh.devices.size  # static: C must fit the combined stream
+        small_ok = params.postings_budget > P_SMALL and params.candidate_cap <= n_dev * P_SMALL
+        if small_ok:
+            import dataclasses
+
+            p_small = dataclasses.replace(params, postings_budget=P_SMALL)
+            totals_rough = f_cnt.reshape(B, -1).sum(axis=1) + m_cnt.reshape(B, -1).sum(axis=1)
+            small = jax.lax.pmax(jnp.max(totals_rough), AXIS) <= P_SMALL
+            cd, co, csc, c_valid, c_over, totals, overs = jax.lax.cond(
+                small, gather_rank(p_small), gather_rank(params), None
+            )
+        else:
+            cd, co, csc, c_valid, c_over, totals, overs = gather_rank(params)(None)
 
         # Supersession: each candidate doc lives in exactly one docid-range
         # shard; the blocked mention lookup answers locally, pmax combines.

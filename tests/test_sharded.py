@@ -114,3 +114,19 @@ def test_sharded_ingest_sorts_per_shard():
     # Sentinel-valued real hashes (0xFFFFFFFF) can be undercounted; with this
     # rng draw none collide.
     assert total == 5000
+
+
+def test_sharded_big_budget_branch_matches_single_device():
+    """A hot hash with > P_SMALL postings forces the full-budget branch of
+    the sharded program (the small/full lax.cond must agree across shards
+    via the pmax'd predicate, and both must match the single-device path)."""
+    rng = np.random.default_rng(9)
+    hot = 123456
+    docs = {i: [hot, int(rng.integers(0, 10_000))] for i in range(1, 400)}
+    docs[777] = [hot, 42, 43, 44]
+    segs = [seg_from_docs(docs, commit_id=1)]
+    q = [hot, 42, 43, 44]
+    got = run_sharded(segs, [], q, limit=5, min_score=2, pct=0)
+    want = run_single(segs, [], q, limit=5, min_score=2, pct=0)
+    assert got == want, (got, want)
+    assert got and got[0][0] == 777 and got[0][1] == 4
