@@ -379,30 +379,36 @@ def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat, n_mentioning=None)
 P_SMALL = 256  # fast-path postings budget (see _search_batch_impl)
 
 
-def _score_select_uniform(p: SearchParams, d, inv, limit, min_score, pct):
-    """Stages 3-7 for the UNIFORM-ORDINAL case: at most one postings-bearing
-    and one mention-bearing segment in the whole snapshot (the fully-merged
-    steady state).  Every hit's ordinal is then the winner and supersession
-    is structurally impossible, so scoring is pure run counting and ranking
-    is comparison counting — (P, P) compares on the VPU plus one-hot MXU
-    extraction, NO sorts.  Semantics are identical to the sort path
-    (SearchResults.finish, common.zig:131-167): min_score filter, pct
-    cutoff anchored on the best candidate, score-desc/id-asc order, limit.
-    """
+def _score_matrix(p: SearchParams, d, o, inv, min_score):
+    """Stages 3-4 sort-free, for ANY ordinal mix, at the small budget:
+    instead of sorting by docid and run-length scoring, build a (P, P)
+    same-doc equality matrix on the VPU.  The winning ordinal per doc is a
+    masked row max (SearchResults.incr's newest-segment-wins,
+    common.zig:121-129), the score counts hits carrying it, and each doc's
+    first occurrence is its representative row — so there is NO candidate
+    cap at all on this path (every one of the <= P distinct docs has a
+    slot), unlike the sort path's top-C compaction.
+
+    Returns per-row (winning ordinal, score, candidate mask)."""
     P = d.shape[0]
     valid = inv == 0
     both = jnp.logical_and(valid[:, None], valid[None, :])
-    eq = jnp.logical_and(d[:, None] == d[None, :], both)  # (P, P)
-    score = jnp.sum(eq.astype(jnp.int32), axis=1)
+    eq = jnp.logical_and(d[:, None] == d[None, :], both)  # (P, P) same doc
+    o_b = jnp.where(valid, o, -1)
+    win = jnp.max(jnp.where(eq, o_b[None, :], -1), axis=1)
+    score = jnp.sum(jnp.logical_and(eq, o_b[None, :] == win[:, None]).astype(jnp.int32), axis=1)
     pos = jnp.arange(P, dtype=jnp.int32)
     dup_before = jnp.any(jnp.logical_and(eq, pos[None, :] < pos[:, None]), axis=1)
     cand = jnp.logical_and(valid, jnp.logical_and(~dup_before, score >= min_score))
+    return win, score, cand
 
-    best = jnp.max(jnp.where(cand, score, 0))
-    cutoff = jnp.maximum(min_score, best * pct // 100)
-    keep = jnp.logical_and(cand, score >= cutoff)
 
-    # Rank kept candidates by (score desc, id asc): composite key compare.
+def _rank_extract(p: SearchParams, d, score, keep, limit):
+    """Comparison-count ranking of kept candidates (score desc, id asc —
+    the composite key of SearchResults.finish) + one-hot MXU extraction
+    into output order.  No sorts; u32 ids stay exact in f32 matmuls via
+    16-bit halves."""
+    P = d.shape[0]
     hi = jnp.where(keep, jnp.uint32(P) - score.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
     less = jnp.logical_or(
         hi[None, :] < hi[:, None],
@@ -413,7 +419,6 @@ def _score_select_uniform(p: SearchParams, d, inv, limit, min_score, pct):
     final = jnp.logical_and(keep, rank < limit_eff)
     n = jnp.sum(final.astype(jnp.int32))
 
-    # One-hot extraction into output order (u32 ids exact via 16-bit halves).
     r_iota = jnp.arange(p.out_len, dtype=jnp.int32)
     onehot = jnp.logical_and(final[None, :], r_iota[:, None] == rank[None, :]).astype(
         jnp.float32
@@ -423,6 +428,19 @@ def _score_select_uniform(p: SearchParams, d, inv, limit, min_score, pct):
     out_ids = (id_hi.astype(jnp.uint32) << 16) + id_lo.astype(jnp.uint32)
     out_scores = jnp.dot(onehot, score.astype(jnp.float32), preferred_element_type=jnp.float32).astype(jnp.int32)
     return {"ids": out_ids, "scores": out_scores, "count": n}
+
+
+def _final_select_matrix(p: SearchParams, d, score, win, cand, newest, limit, min_score, pct):
+    """Stages 5-7 sort-free: supersession kill (a strictly newer segment
+    mentions the doc), pct cutoff anchored on the best survivor, ranked
+    extraction.  Semantics identical to _final_select / the reference's
+    finish (common.zig:131-167); rank-among-alive and rank-among-kept
+    agree because {score >= cutoff} is a prefix of the score-sorted order."""
+    alive = jnp.logical_and(cand, jnp.logical_not(newest > win))
+    best = jnp.max(jnp.where(alive, score, 0))
+    cutoff = jnp.maximum(min_score, best * pct // 100)
+    keep = jnp.logical_and(alive, score >= cutoff)
+    return _rank_extract(p, d, score, keep, limit)
 
 
 def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):
@@ -463,21 +481,12 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         totals_rough = f_cnt.reshape(B, -1).sum(axis=1) + m_cnt.reshape(B, -1).sum(axis=1)
         small = jnp.max(totals_rough) <= P_SMALL
 
-    def standard(_):
-        if small_ok:
-
-            def mem_branch(use_mem):
-                return lambda _: jax.lax.cond(
-                    small, rank_all(use_mem, p_small), rank_all(use_mem, p), None
-                )
-
-            cd, co, csc, c_valid, totals, overs = jax.lax.cond(
-                has_mem, mem_branch(True), mem_branch(False), None
-            )
-        else:
-            cd, co, csc, c_valid, totals, overs = jax.lax.cond(
-                has_mem, rank_all(True, p), rank_all(False, p), None
-            )
+    def sort_path(_):
+        """Stages 3-7 via the sorting pipeline at the FULL budget (any
+        query gathering > P_SMALL postings lands here)."""
+        cd, co, csc, c_valid, totals, overs = jax.lax.cond(
+            has_mem, rank_all(True, p), rank_all(False, p), None
+        )
 
         # Supersession runs once for the whole batch's candidate stream so
         # the blocked mention lookup never sits under vmap.
@@ -492,38 +501,47 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         return jax.vmap(select_query)(cd, co, csc, c_valid, newest, limits, min_scores, pcts, totals, overs)
 
     if not small_ok:
-        return standard(None)
+        return sort_path(None)
 
-    # Uniform-ordinal fast path: with at most one postings-bearing and one
-    # mention-bearing segment (the fully-merged steady state) and a small
-    # batch, stages 3-7 run entirely sort-free (see _score_select_uniform).
-    n_postings_live = jnp.sum((file_tier["seg_len"] > 0).astype(jnp.int32)) + jnp.sum(
-        (mem_tier["seg_len"] > 0).astype(jnp.int32)
-    )
-    uniform_ok = jnp.logical_and(
-        small,
-        jnp.logical_and(n_postings_live <= 1, segments_mentioning(file_tier, mem_tier) <= 1),
-    )
-
-    def uniform(use_mem):
+    # Small-budget matrix path: every query's postings fit P_SMALL (the
+    # overwhelmingly common serving case — a ~120-hash fingerprint query
+    # touches ~125 postings), so stages 3-7 run entirely SORT-FREE for any
+    # segment mix (see _score_matrix / _final_select_matrix), with no
+    # candidate cap.  Mention lookups still self-skip at runtime when at
+    # most one segment mentions docs (_batch_newest's lax.cond), making
+    # the fully-merged steady state cheaper still.
+    def matrix_path(use_mem):
         def branch(_):
-            def one(f_lo1, f_cnt1, m_lo1, m_cnt1, limit, min_score, pct):
+            def score_one(f_lo1, f_cnt1, m_lo1, m_cnt1, min_score):
                 d, o, inv, total, over = _plan_and_gather(
                     p_small, file_tier, mem_tier, f_lo1, f_cnt1, m_lo1, m_cnt1, use_mem=use_mem
                 )
-                out = _score_select_uniform(p, d, inv, limit, min_score, pct)
+                win, score, cand = _score_matrix(p_small, d, o, inv, min_score)
+                return d, win, score, cand, total, over
+
+            d, win, score, cand, totals, overs = jax.vmap(score_one)(
+                f_lo, f_cnt, m_lo, m_cnt, min_scores
+            )
+            newest = _batch_newest(
+                file_tier, mem_tier, d.reshape(-1), cand.reshape(-1)
+            ).reshape(d.shape)
+
+            def select_one(d1, win1, score1, cand1, nw1, limit, min_score, pct, total, over):
+                out = _final_select_matrix(p, d1, score1, win1, cand1, nw1, limit, min_score, pct)
                 out["postings_scanned"] = total
                 out["truncated"] = jnp.logical_or(trunc, over)
                 return out
 
-            return jax.vmap(one)(f_lo, f_cnt, m_lo, m_cnt, limits, min_scores, pcts)
+            return jax.vmap(select_one)(
+                d, win, score, cand, newest, limits, min_scores, pcts, totals, overs
+            )
 
         return branch
 
     return jax.lax.cond(
-        uniform_ok,
-        lambda _: jax.lax.cond(has_mem, uniform(True), uniform(False), None),
-        standard,
+        small,
+        lambda _: jax.lax.cond(has_mem, matrix_path(True), matrix_path(False), None),
+        sort_path,
         None,
     )
 

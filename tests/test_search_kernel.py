@@ -180,3 +180,17 @@ def test_uniform_fast_path_matches_sort_path():
         r1 = run_both([], one, q, limit=7, min_score=1, pct=pct)
         r2 = run_both(two, [], q, limit=7, min_score=1, pct=pct)
         assert r1 == r2, (q, r1, r2)
+
+
+def test_big_budget_sort_path_matches_oracle():
+    """A hot hash with > P_SMALL postings forces the full-budget sorting
+    pipeline (the matrix path only serves small batches); pin it to the
+    oracle, with supersession across segments in play."""
+    rng = np.random.default_rng(7)
+    hot = 999
+    docs_a = {i: [hot, int(rng.integers(0, 400))] for i in range(1, 350)}
+    docs_b = {i: [int(h) for h in rng.integers(0, 400, 4)] for i in range(340, 360)}
+    segs_file = [seg_from_docs(docs_a, commit_id=1)]
+    segs_mem = [seg_from_docs(docs_b, commit_id=2, deletes=[5, 17])]
+    for q in ([hot, 42, 43], [hot], [hot, 0, 1, 2, 3]):
+        run_both(segs_file, segs_mem, q, limit=8, min_score=1, pct=0)
