@@ -51,6 +51,34 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Lookups per pallas_call.  The per-lookup scalar-prefetch arrays live in
+# SMEM (~1MB/core budget): 3 arrays x 65536 x 4B = 768KB fits, but a
+# multi-segment serving stream (B*S*Q lookups — e.g. 262144 at B=256, S=8
+# slots, Q=128) does NOT fit in one call (measured: "Ran out of memory in
+# memory space smem. Used 2.00M of 1.00M"), so streams are split into
+# TILE-aligned chunks and the per-chunk comp outputs concatenated.
+MAX_STREAM = 65536
+
+
+def _chunked_stream(call, scalars, L):
+    """TILE-pad the per-lookup scalar arrays, run `call` over <= MAX_STREAM
+    chunks, and return (concatenated comp, padded scalars)."""
+    TILE = 1024
+    L_pad = -(-L // TILE) * TILE
+    padded = []
+    for a in scalars:
+        if L_pad != a.shape[0]:
+            a = jnp.concatenate([a, jnp.zeros(L_pad - a.shape[0], a.dtype)])
+        padded.append(a)
+    if L_pad <= MAX_STREAM:
+        return call(*padded), padded
+    comps = []
+    for s in range(0, L_pad, MAX_STREAM):
+        e = min(s + MAX_STREAM, L_pad)
+        comps.append(call(*[a[s:e] for a in padded]))
+    return jnp.concatenate(comps), padded
+
+
 def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queries: jax.Array):
     """(lo, count) per lookup over the two-block window [blk0, blk1].
 
@@ -72,12 +100,6 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     TILE = 1024  # lookups per (8, 128) output tile
 
     L = queries.shape[0]
-    L_pad = -(-L // TILE) * TILE
-    if L_pad != L:
-        pad = L_pad - L
-        blk0 = jnp.concatenate([blk0, jnp.zeros(pad, blk0.dtype)])
-        blk1 = jnp.concatenate([blk1, jnp.zeros(pad, blk1.dtype)])
-        queries = jnp.concatenate([queries, jnp.zeros(pad, queries.dtype)])
     hashes2d = hashes.reshape(-1, 128)
 
     # G lookups per grid step, two block operands each (the pipeline keeps
@@ -128,20 +150,24 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
             (ROWS, 128), lambda i, b0, b1, q, idx=idx: (b1[i * G + idx], 0)
         )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # blk0, blk1 (0 = second block disabled), queries
-        grid=(L_pad // G,),
-        in_specs=[in_spec(k) for k in range(2 * G)],
-        out_specs=[
-            pl.BlockSpec((8, 128), lambda i, b0, b1, q: (i * G // TILE, 0)),
-        ],
-    )
-    comp = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),),
-        interpret=_use_interpret(),
-    )(blk0, blk1, queries, *([hashes2d] * (2 * G)))[0]
+    def call(b0c, b1c, qc):
+        Lc = qc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # blk0, blk1 (0 = second block disabled), queries
+            grid=(Lc // G,),
+            in_specs=[in_spec(k) for k in range(2 * G)],
+            out_specs=[
+                pl.BlockSpec((8, 128), lambda i, b0, b1, q: (i * G // TILE, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
+            interpret=_use_interpret(),
+        )(b0c, b1c, qc, *([hashes2d] * (2 * G)))[0]
+
+    comp, (blk0, blk1, queries) = _chunked_stream(call, (blk0, blk1, queries), L)
     comp = comp.reshape(-1)[:L]
     lt = comp & jnp.int32(0xFFF)
     eq = comp >> 12
@@ -166,11 +192,6 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
     TILE = 1024
 
     L = queries.shape[0]
-    L_pad = -(-L // TILE) * TILE
-    if L_pad != L:
-        pad = L_pad - L
-        blk = jnp.concatenate([blk, jnp.zeros(pad, blk.dtype)])
-        queries = jnp.concatenate([queries, jnp.zeros(pad, queries.dtype)])
     hashes2d = hashes.reshape(-1, 128)
 
     def kernel(blk_ref, q_ref, *refs):
@@ -195,20 +216,24 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
     def in_spec(idx):
         return pl.BlockSpec((ROWS, 128), lambda i, b, q, idx=idx: (b[i * G + idx], 0))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # blk, queries
-        grid=(L_pad // G,),
-        in_specs=[in_spec(k) for k in range(G)],
-        out_specs=[
-            pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
-        ],
-    )
-    comp = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),),
-        interpret=_use_interpret(),
-    )(blk, queries, *([hashes2d] * G))[0]
+    def call(bc, qc):
+        Lc = qc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # blk, queries
+            grid=(Lc // G,),
+            in_specs=[in_spec(k) for k in range(G)],
+            out_specs=[
+                pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
+            interpret=_use_interpret(),
+        )(bc, qc, *([hashes2d] * G))[0]
+
+    comp, (blk, queries) = _chunked_stream(call, (blk, queries), L)
     comp = comp.reshape(-1)[:L]
     lt = comp & jnp.int32(0xFFF)
     eq = comp >> 12
@@ -243,11 +268,6 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array)
     TILE = 1024
 
     L = queries.shape[0]
-    L_pad = -(-L // TILE) * TILE
-    if L_pad != L:
-        pad = L_pad - L
-        blk = jnp.concatenate([blk, jnp.zeros(pad, blk.dtype)])
-        queries = jnp.concatenate([queries, jnp.zeros(pad, queries.dtype)])
     hashes2d = hashes.reshape(-1, 128)
     r_all = hashes2d.shape[0]
 
@@ -268,20 +288,24 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array)
             comp_tile = jnp.where(mask, comp, comp_tile)
         comp_ref[:, :] = comp_tile
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # blk, queries
-        grid=(L_pad // G,),
-        in_specs=[pl.BlockSpec((r_all, 128), lambda i, b, q: (0, 0))],
-        out_specs=[
-            pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
-        ],
-    )
-    comp = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((L_pad // TILE * 8, 128), jnp.int32),),
-        interpret=_use_interpret(),
-    )(blk, queries, hashes2d)[0]
+    def call(bc, qc):
+        Lc = qc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # blk, queries
+            grid=(Lc // G,),
+            in_specs=[pl.BlockSpec((r_all, 128), lambda i, b, q: (0, 0))],
+            out_specs=[
+                pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
+            interpret=_use_interpret(),
+        )(bc, qc, hashes2d)[0]
+
+    comp, (blk, queries) = _chunked_stream(call, (blk, queries), L)
     comp = comp.reshape(-1)[:L]
     lt = comp & jnp.int32(0xFFF)
     eq = comp >> 12
