@@ -60,8 +60,8 @@ def _use_interpret() -> bool:
 MAX_STREAM = 65536
 
 
-def _chunked_stream(call, scalars, L):
-    """TILE-pad the per-lookup scalar arrays, run `call` over <= MAX_STREAM
+def _chunked_stream(call, scalars, L, max_stream: int = MAX_STREAM):
+    """TILE-pad the per-lookup scalar arrays, run `call` over <= max_stream
     chunks, and return (concatenated comp, padded scalars)."""
     TILE = 1024
     L_pad = -(-L // TILE) * TILE
@@ -70,11 +70,11 @@ def _chunked_stream(call, scalars, L):
         if L_pad != a.shape[0]:
             a = jnp.concatenate([a, jnp.zeros(L_pad - a.shape[0], a.dtype)])
         padded.append(a)
-    if L_pad <= MAX_STREAM:
+    if L_pad <= max_stream:
         return call(*padded), padded
     comps = []
-    for s in range(0, L_pad, MAX_STREAM):
-        e = min(s + MAX_STREAM, L_pad)
+    for s in range(0, L_pad, max_stream):
+        e = min(s + max_stream, L_pad)
         comps.append(call(*[a[s:e] for a in padded]))
     return jnp.concatenate(comps), padded
 
@@ -313,6 +313,67 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array)
     return lo, eq
 
 
+def block_lookup_resident_masked(hashes: jax.Array, blk: jax.Array, queries: jax.Array, lo_b: jax.Array, hi_b: jax.Array):
+    """block_lookup_resident with per-lookup RANGE masking: only table
+    entries whose absolute index falls in [lo_b, hi_b) are counted.  This
+    serves MULTI-SEGMENT tiers, where the table (the sampled top index) is
+    a concatenation of per-segment sorted runs and a chunk can span
+    segments — the mask restricts each lookup to its own segment's entries.
+    Four per-lookup scalar arrays -> chunks of 32768 keep SMEM at 512KB."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
+    TILE = 1024
+
+    L = queries.shape[0]
+    hashes2d = hashes.reshape(-1, 128)
+    r_all = hashes2d.shape[0]
+
+    def kernel(blk_ref, q_ref, lob_ref, hib_ref, h_ref, comp_ref):
+        i = pl.program_id(0)
+        base = i * G
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        comp_tile = comp_ref[:, :]
+        for k in range(G):
+            j = base + k
+            q = q_ref[j]
+            c = blk_ref[j]
+            b0 = h_ref[pl.ds(c * ROWS, ROWS), :]
+            e = c * BLOCK + rows * 128 + lanes  # absolute entry index
+            in_r = jnp.logical_and(e >= lob_ref[j], e < hib_ref[j])
+            v = (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
+            comp = jnp.sum(jnp.where(in_r, v, 0))
+            row = (j % TILE) // 128
+            lane = j % 128
+            mask = jnp.logical_and(rows == row, lanes == lane)
+            comp_tile = jnp.where(mask, comp, comp_tile)
+        comp_ref[:, :] = comp_tile
+
+    def call(bc, qc, lc, hc):
+        Lc = qc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # blk, queries, lo_b, hi_b
+            grid=(Lc // G,),
+            in_specs=[pl.BlockSpec((r_all, 128), lambda i, b, q, lb, hb: (0, 0))],
+            out_specs=[
+                pl.BlockSpec((8, 128), lambda i, b, q, lb, hb: (i * G // TILE, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
+            interpret=_use_interpret(),
+        )(bc, qc, lc, hc, hashes2d)[0]
+
+    comp, _ = _chunked_stream(call, (blk, queries, lo_b, hi_b), L, max_stream=32768)
+    comp = comp.reshape(-1)[:L]
+    lt = comp & jnp.int32(0xFFF)
+    eq = comp >> 12
+    return lt, eq
+
+
 def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     """Two-level replacement for the per-tier range phase.
 
@@ -334,7 +395,16 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     blk_len = ((tier["seg_len"] + BLOCK - 1) // BLOCK)[None, :, None]
     blk_last = jnp.maximum(blk_start, blk_start + blk_len - 1)
     q3 = queries[:, None, :]  # (B, 1, Q)
-    if S == 1:
+    nblk_pad = -(-nblk // BLOCK) * BLOCK
+    resident_fits = nblk_pad * 4 <= _resident_max_bytes()
+    if resident_fits:
+        bi = block_index
+        if nblk_pad != nblk:
+            bi = jnp.concatenate(
+                [bi, jnp.full(nblk_pad - nblk, 0xFFFFFFFF, bi.dtype)]
+            )
+        mini = bi[::BLOCK]
+    if S == 1 and resident_fits:
         # Single-segment tier (the fully-merged steady state): the whole top
         # index is one sorted run, so its search is itself a two-level
         # lookup — a dense compare over a 1024x-sampled mini index (VPU
@@ -345,21 +415,45 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
         # bounded search costs ~18 dependent per-element gathers per lookup
         # at this table size — measured ~4x the whole Pallas scan.
         qf = queries.reshape(-1)
-        nblk_pad = -(-nblk // BLOCK) * BLOCK
-        bi = block_index
-        if nblk_pad != nblk:
-            bi = jnp.concatenate(
-                [bi, jnp.full(nblk_pad - nblk, 0xFFFFFFFF, bi.dtype)]
-            )
-        mini = bi[::BLOCK]
         ub2 = jnp.sum((mini[None, :] <= qf[:, None]).astype(jnp.int32), axis=1)
         c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
-        if bi.shape[0] * 4 <= _resident_max_bytes():
-            lo_c, cnt_c = block_lookup_resident(bi, c, qf)
-        else:
-            lo_c, cnt_c = block_lookup(bi, c, qf)
+        lo_c, cnt_c = block_lookup_resident(bi, c, qf)
         ub = (lo_c + cnt_c).reshape(B, S, Q)
         eq_top = cnt_c.reshape(B, S, Q)  # equal top entries in landing chunk
+    elif resident_fits:
+        # Multi-segment tier: the top index is a concatenation of per-
+        # segment sorted runs, so the same two-level scheme applies with
+        # RANGE masking — the mini compare restricted to each segment's
+        # chunk interval picks the landing chunk (the chunks whose first
+        # in-segment entry <= q form a prefix, by in-segment sortedness),
+        # and the masked resident kernel counts only in-segment entries of
+        # that chunk.  This replaces the XLA per-element binary search that
+        # made S>1 snapshots ~24x slower than S=1 (measured 101.8 vs 4.2
+        # ms/batch at S=8 before this path).
+        qf = jnp.broadcast_to(q3, (B, S, Q)).reshape(-1)
+        j0 = (blk_start // BLOCK).reshape(-1)  # (S,)
+        jlast = (blk_last // BLOCK).reshape(-1)
+        first_in_seg = bi[jnp.clip(blk_start.reshape(-1), 0, bi.shape[0] - 1)]  # (S,)
+        n_mini = mini.shape[0]
+        jr = jnp.arange(n_mini, dtype=jnp.int32)
+        # (S, n_mini) chunk-interval masks, broadcast over the flat stream.
+        seg_mask = jnp.logical_and(jr[None, :] > j0[:, None], jr[None, :] <= jlast[:, None])
+        le = (mini[None, :] <= qf[:, None]).reshape(B, S, Q, n_mini)
+        m2 = jnp.sum(
+            jnp.logical_and(le, seg_mask[None, :, None, :]).astype(jnp.int32), axis=-1
+        ).reshape(-1)
+        m = (first_in_seg[None, :, None] <= q3).astype(jnp.int32).reshape(B, S, Q).reshape(-1) + m2
+        c = jnp.clip(j0[None, :, None] + m.reshape(B, S, Q) - 1, 0, n_mini - 1).reshape(-1)
+        lo_b = jnp.broadcast_to(blk_start, (B, S, Q)).reshape(-1)
+        hi_b = jnp.broadcast_to(blk_start + blk_len, (B, S, Q)).reshape(-1)
+        lt_m, eq_m = block_lookup_resident_masked(
+            bi, c.astype(jnp.int32), qf, lo_b.astype(jnp.int32), hi_b.astype(jnp.int32)
+        )
+        ub_flat = jnp.where(
+            m >= 1, jnp.maximum(lo_b, c * BLOCK) + lt_m + eq_m, lo_b
+        )
+        ub = ub_flat.reshape(B, S, Q)
+        eq_top = jnp.where(m >= 1, eq_m, 0).reshape(B, S, Q)
     else:
         ub = upper_bound(block_index, q3, blk_start, blk_len)  # (B, S, Q)
         eq_top = None

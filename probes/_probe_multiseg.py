@@ -118,6 +118,11 @@ def main():
     print(f"S={SEGS} multi-segment blocked path: hit rate {hit}", flush=True)
     assert hit == 1.0, hit
 
+    from bench import device_qps_fori
+
+    qps = device_qps_fori(jax, params, file_tier, mem_tier, pin, B)
+    print(f"S={SEGS} fori-slope: {B/qps*1000:.2f} ms/batch ({qps:.0f} qps)", flush=True)
+
 
 if __name__ == "__main__":
     main()
