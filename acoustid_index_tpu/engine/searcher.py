@@ -436,22 +436,24 @@ class BatchingSearcher(Searcher):
     def _shape_key(self, snapshot, params: SearchParams, b: int):
         """Everything the compiled program's identity depends on: static
         params, batch bucket, and the (bucketed) view array shapes.  Views
-        are immutable, so the shape tuple is cached by view identity (a
-        bounded dict).  An id reused after GC can only misjudge warm/cold
-        bookkeeping (worst case: one inline compile) — never the compiled
-        program itself, which jit keys on the real shapes."""
+        are immutable, so the shape tuple is cached by view identity.  The
+        cache holds the view STRONGLY (a freed dict's id could be recycled
+        by a new view with different shapes, and a stale hit would falsely
+        mark a cold program warm — an inline-compile stall on the
+        dispatcher); the bound keeps retained old views negligible."""
         cache = self._shape_cache
 
         def shapes(view):
             got = cache.get(id(view))
-            if got is None:
-                got = tuple(
-                    sorted((k, tuple(getattr(v, "shape", ()))) for k, v in view.items())
-                )
-                if len(cache) > 64:
-                    cache.clear()
-                cache[id(view)] = got
-            return got
+            if got is not None and got[0] is view:
+                return got[1]
+            shp = tuple(
+                sorted((k, tuple(getattr(v, "shape", ()))) for k, v in view.items())
+            )
+            if len(cache) >= 16:
+                cache.clear()
+            cache[id(view)] = (view, shp)
+            return shp
 
         return (params, b, shapes(snapshot.file_view), shapes(snapshot.mem_view))
 

@@ -248,8 +248,8 @@ def _resident_max_bytes() -> int:
     return int(os.environ.get("AITPU_RESIDENT_MAX_BYTES", str(6 << 20)))
 
 
-def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
-    """Single-block (lo, count) lookup with the WHOLE table VMEM-resident.
+def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array, lo_b=None, hi_b=None):
+    """(lt, eq) per lookup with the WHOLE table VMEM-resident.
 
     The DMA-pipeline kernels above are bookkeeping-bound: ~83ns per operand
     per grid step no matter what the body does or whether the DMA is
@@ -260,18 +260,29 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array)
     dynamic-slices its 1024-entry chunk straight out of VMEM, so the
     per-lookup cost is pure VPU compare work.
 
-    Caller guarantees hashes.nbytes <= _resident_max_bytes() and that
-    hashes is padded to a multiple of BLOCK entries."""
+    With `lo_b`/`hi_b` (per-lookup absolute entry bounds), only table
+    entries in [lo_b, hi_b) are counted — this serves MULTI-SEGMENT tiers,
+    where the top index is a concatenation of per-segment sorted runs and
+    a chunk can span segments.  Four scalar arrays then chunk at 32768
+    lookups to keep SMEM at 512KB.
+
+    Returns (lt, eq): entries < q and entries == q within the (masked)
+    chunk `blk`.  Caller guarantees hashes.nbytes <= _resident_max_bytes()
+    and that hashes is padded to a multiple of BLOCK entries."""
     from jax.experimental.pallas import tpu as pltpu
 
     G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
     TILE = 1024
+    masked = lo_b is not None
 
     L = queries.shape[0]
     hashes2d = hashes.reshape(-1, 128)
     r_all = hashes2d.shape[0]
+    n_scalars = 4 if masked else 2
 
-    def kernel(blk_ref, q_ref, h_ref, comp_ref):
+    def kernel(*refs):
+        scalar_refs = refs[:n_scalars]
+        h_ref, comp_ref = refs[n_scalars], refs[n_scalars + 1]
         i = pl.program_id(0)
         base = i * G
         rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -279,85 +290,29 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array)
         comp_tile = comp_ref[:, :]
         for k in range(G):
             j = base + k
-            q = q_ref[j]
-            b0 = h_ref[pl.ds(blk_ref[j] * ROWS, ROWS), :]
-            comp = jnp.sum((b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12))
-            row = (j % TILE) // 128
-            lane = j % 128
-            mask = jnp.logical_and(rows == row, lanes == lane)
-            comp_tile = jnp.where(mask, comp, comp_tile)
-        comp_ref[:, :] = comp_tile
-
-    def call(bc, qc):
-        Lc = qc.shape[0]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # blk, queries
-            grid=(Lc // G,),
-            in_specs=[pl.BlockSpec((r_all, 128), lambda i, b, q: (0, 0))],
-            out_specs=[
-                pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
-            ],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
-            interpret=_use_interpret(),
-        )(bc, qc, hashes2d)[0]
-
-    comp, (blk, queries) = _chunked_stream(call, (blk, queries), L)
-    comp = comp.reshape(-1)[:L]
-    lt = comp & jnp.int32(0xFFF)
-    eq = comp >> 12
-    lo = blk[:L] * BLOCK + lt
-    return lo, eq
-
-
-def block_lookup_resident_masked(hashes: jax.Array, blk: jax.Array, queries: jax.Array, lo_b: jax.Array, hi_b: jax.Array):
-    """block_lookup_resident with per-lookup RANGE masking: only table
-    entries whose absolute index falls in [lo_b, hi_b) are counted.  This
-    serves MULTI-SEGMENT tiers, where the table (the sampled top index) is
-    a concatenation of per-segment sorted runs and a chunk can span
-    segments — the mask restricts each lookup to its own segment's entries.
-    Four per-lookup scalar arrays -> chunks of 32768 keep SMEM at 512KB."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
-    TILE = 1024
-
-    L = queries.shape[0]
-    hashes2d = hashes.reshape(-1, 128)
-    r_all = hashes2d.shape[0]
-
-    def kernel(blk_ref, q_ref, lob_ref, hib_ref, h_ref, comp_ref):
-        i = pl.program_id(0)
-        base = i * G
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        comp_tile = comp_ref[:, :]
-        for k in range(G):
-            j = base + k
-            q = q_ref[j]
-            c = blk_ref[j]
+            q = scalar_refs[1][j]
+            c = scalar_refs[0][j]
             b0 = h_ref[pl.ds(c * ROWS, ROWS), :]
-            e = c * BLOCK + rows * 128 + lanes  # absolute entry index
-            in_r = jnp.logical_and(e >= lob_ref[j], e < hib_ref[j])
             v = (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
-            comp = jnp.sum(jnp.where(in_r, v, 0))
+            if masked:
+                e = c * BLOCK + rows * 128 + lanes  # absolute entry index
+                in_r = jnp.logical_and(e >= scalar_refs[2][j], e < scalar_refs[3][j])
+                v = jnp.where(in_r, v, 0)
+            comp = jnp.sum(v)
             row = (j % TILE) // 128
             lane = j % 128
             mask = jnp.logical_and(rows == row, lanes == lane)
             comp_tile = jnp.where(mask, comp, comp_tile)
         comp_ref[:, :] = comp_tile
 
-    def call(bc, qc, lc, hc):
-        Lc = qc.shape[0]
+    def call(*chunks):
+        Lc = chunks[1].shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # blk, queries, lo_b, hi_b
+            num_scalar_prefetch=n_scalars,
             grid=(Lc // G,),
-            in_specs=[pl.BlockSpec((r_all, 128), lambda i, b, q, lb, hb: (0, 0))],
+            in_specs=[pl.BlockSpec((r_all, 128), lambda i, *_s: (0, 0))],
             out_specs=[
-                pl.BlockSpec((8, 128), lambda i, b, q, lb, hb: (i * G // TILE, 0)),
+                pl.BlockSpec((8, 128), lambda i, *_s: (i * G // TILE, 0)),
             ],
         )
         return pl.pallas_call(
@@ -365,9 +320,10 @@ def block_lookup_resident_masked(hashes: jax.Array, blk: jax.Array, queries: jax
             grid_spec=grid_spec,
             out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
             interpret=_use_interpret(),
-        )(bc, qc, lc, hc, hashes2d)[0]
+        )(*chunks, hashes2d)[0]
 
-    comp, _ = _chunked_stream(call, (blk, queries, lo_b, hi_b), L, max_stream=32768)
+    scalars = (blk, queries, lo_b, hi_b) if masked else (blk, queries)
+    comp, _ = _chunked_stream(call, scalars, L, max_stream=32768 if masked else MAX_STREAM)
     comp = comp.reshape(-1)[:L]
     lt = comp & jnp.int32(0xFFF)
     eq = comp >> 12
@@ -397,28 +353,33 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     q3 = queries[:, None, :]  # (B, 1, Q)
     nblk_pad = -(-nblk // BLOCK) * BLOCK
     resident_fits = nblk_pad * 4 <= _resident_max_bytes()
-    if resident_fits:
+    if S == 1 or resident_fits:
         bi = block_index
         if nblk_pad != nblk:
             bi = jnp.concatenate(
                 [bi, jnp.full(nblk_pad - nblk, 0xFFFFFFFF, bi.dtype)]
             )
         mini = bi[::BLOCK]
-    if S == 1 and resident_fits:
+    if S == 1:
         # Single-segment tier (the fully-merged steady state): the whole top
         # index is one sorted run, so its search is itself a two-level
         # lookup — a dense compare over a 1024x-sampled mini index (VPU
-        # work, not per-element gathers) picks the top-index chunk, and the
-        # SAME Pallas block kernel counts entries <= q inside it.  Every
-        # chunk before the landing chunk is wholly <= q (its first entry is
-        # the mini sample), so ub = chunk_lower_bound + equals.  The XLA
+        # work, not per-element gathers) picks the top-index chunk, and a
+        # Pallas block kernel counts entries <= q inside it (VMEM-resident
+        # when the table fits, per-chunk DMA otherwise).  Every chunk
+        # before the landing chunk is wholly <= q (its first entry is the
+        # mini sample), so ub = chunk_lower_bound + equals.  The XLA
         # bounded search costs ~18 dependent per-element gathers per lookup
         # at this table size — measured ~4x the whole Pallas scan.
         qf = queries.reshape(-1)
         ub2 = jnp.sum((mini[None, :] <= qf[:, None]).astype(jnp.int32), axis=1)
         c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
-        lo_c, cnt_c = block_lookup_resident(bi, c, qf)
-        ub = (lo_c + cnt_c).reshape(B, S, Q)
+        if resident_fits:
+            lt_c, cnt_c = block_lookup_resident(bi, c, qf)
+            ub = (c * BLOCK + lt_c + cnt_c).reshape(B, S, Q)
+        else:
+            lo_c, cnt_c = block_lookup(bi, c, qf)
+            ub = (lo_c + cnt_c).reshape(B, S, Q)
         eq_top = cnt_c.reshape(B, S, Q)  # equal top entries in landing chunk
     elif resident_fits:
         # Multi-segment tier: the top index is a concatenation of per-
@@ -446,7 +407,7 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
         c = jnp.clip(j0[None, :, None] + m.reshape(B, S, Q) - 1, 0, n_mini - 1).reshape(-1)
         lo_b = jnp.broadcast_to(blk_start, (B, S, Q)).reshape(-1)
         hi_b = jnp.broadcast_to(blk_start + blk_len, (B, S, Q)).reshape(-1)
-        lt_m, eq_m = block_lookup_resident_masked(
+        lt_m, eq_m = block_lookup_resident(
             bi, c.astype(jnp.int32), qf, lo_b.astype(jnp.int32), hi_b.astype(jnp.int32)
         )
         ub_flat = jnp.where(

@@ -379,6 +379,18 @@ def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat, n_mentioning=None)
 P_SMALL = 256  # fast-path postings budget (see _search_batch_impl)
 
 
+def small_budget(p: SearchParams, f_cnt, m_cnt, B: int):
+    """(p_small, per-query rough totals) for the P_SMALL fast-path
+    decision — shared by the single-chip and sharded programs so the
+    engagement rule cannot drift between them (each adds its own
+    candidate_cap guard and, for sharded, a pmax over shards)."""
+    import dataclasses
+
+    p_small = dataclasses.replace(p, postings_budget=P_SMALL)
+    totals_rough = f_cnt.reshape(B, -1).sum(axis=1) + m_cnt.reshape(B, -1).sum(axis=1)
+    return p_small, totals_rough
+
+
 def _score_matrix(p: SearchParams, d, o, inv, min_score):
     """Stages 3-4 sort-free, for ANY ordinal mix, at the small budget:
     instead of sorting by docid and run-length scoring, build a (P, P)
@@ -475,10 +487,7 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
     has_mem = jnp.sum(mem_tier["seg_len"]) > 0
     small_ok = p.postings_budget > P_SMALL and p.candidate_cap <= P_SMALL
     if small_ok:
-        import dataclasses
-
-        p_small = dataclasses.replace(p, postings_budget=P_SMALL)
-        totals_rough = f_cnt.reshape(B, -1).sum(axis=1) + m_cnt.reshape(B, -1).sum(axis=1)
+        p_small, totals_rough = small_budget(p, f_cnt, m_cnt, B)
         small = jnp.max(totals_rough) <= P_SMALL
 
     def sort_path(_):

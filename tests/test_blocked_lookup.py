@@ -144,3 +144,76 @@ def test_window_cap_overflow_flags_truncation(monkeypatch):
         assert cnt[i] <= want_cnt[i]
         exact += int(cnt[i] == want_cnt[i] and lo[i] == want_lo[i])
     assert exact >= 1  # the fixup stream served its one slot
+
+
+def make_tier_multi(runs):
+    """BLOCK-aligned multi-segment tier (like pack_tier) from sorted runs."""
+    total = sum(-(-r.shape[0] // BLOCK) * BLOCK for r in runs)
+    cap = BLOCK
+    while cap < total:
+        cap *= 2
+    hashes = np.full(cap, 0xFFFFFFFF, np.uint32)
+    seg_start = np.zeros(len(runs), np.int32)
+    seg_len = np.zeros(len(runs), np.int32)
+    pos = 0
+    for s, r in enumerate(runs):
+        seg_start[s] = pos
+        seg_len[s] = r.shape[0]
+        hashes[pos : pos + r.shape[0]] = r
+        pos += -(-r.shape[0] // BLOCK) * BLOCK
+    h = jnp.asarray(hashes)
+    return {
+        "hashes": h,
+        "block_index": h[::BLOCK],
+        "seg_start": jnp.asarray(seg_start),
+        "seg_len": jnp.asarray(seg_len),
+    }
+
+
+def test_multisegment_masked_path_exact():
+    """The masked-resident multi-segment top-index path: segment 1 starts
+    mid-chunk of the top index, carries equal-hash runs straddling block
+    boundaries, and every (segment, query) range must match bisect on the
+    segment's own slice."""
+    rng = np.random.default_rng(11)
+    n0, n1 = 600_000, 700_000
+    h0 = np.sort(rng.integers(0, 2**20, n0, dtype=np.uint32))
+    h1 = np.sort(rng.integers(2**21, 2**22, n1, dtype=np.uint32))
+    straddle_vals = []
+    for k in (1, 5, 100):
+        p = k * BLOCK
+        v = h1[p]
+        h1[p - 2 : p + 2] = v
+        straddle_vals.append(int(v))
+    h1 = np.sort(h1)
+    tier = make_tier_multi([h0, h1])
+    seg_start = np.asarray(tier["seg_start"])
+    seg_len = np.asarray(tier["seg_len"])
+    hall = np.asarray(tier["hashes"])
+
+    queries = (
+        straddle_vals
+        + [int(h0[0]), int(h0[-1]), int(h1[0]), int(h1[-1])]
+        + [int(h0[1234]), int(h1[4321]), 5, 2**20 + 17, 0xFFFFFFFE]
+    )
+    q = np.zeros(64, np.uint32)
+    q[: len(queries)] = queries
+    lo, cnt, trunc = tier_ranges_blocked(
+        tier,
+        jnp.asarray(q)[None, :],
+        jnp.asarray(np.arange(64) < len(queries))[None, :],
+        2048,
+    )
+    lo = np.asarray(lo)[0]  # (S, Q)
+    cnt = np.asarray(cnt)[0]
+    from bisect import bisect_left, bisect_right
+
+    for s in range(2):
+        seg = hall[seg_start[s] : seg_start[s] + seg_len[s]]
+        for qi, hv in enumerate(queries):
+            want_lo = seg_start[s] + bisect_left(seg, hv)
+            want_cnt = bisect_right(seg, hv) - bisect_left(seg, hv)
+            assert cnt[s, qi] == want_cnt, (s, qi, hv, cnt[s, qi], want_cnt)
+            if want_cnt:
+                assert lo[s, qi] == want_lo, (s, qi, hv, lo[s, qi], want_lo)
+    assert not bool(trunc)
