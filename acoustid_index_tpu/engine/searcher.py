@@ -339,20 +339,28 @@ class BatchingSearcher(Searcher):
         self._threads = ts
 
     def close(self) -> None:
-        """Stop the pipeline threads (daemonized, so optional)."""
+        """Stop the pipeline threads (daemonized, so optional).  Order
+        matters: the dispatcher exits first (failing still-queued requests
+        so no caller is stranded), THEN the collector sentinels go in —
+        queue FIFO guarantees collectors drain every launched batch before
+        exiting.  If a join times out (dispatcher mid-compile), the
+        searcher stays marked stopping so no second pipeline can start."""
         with self._qcond:
             if self._threads is None:
                 return
             self._stopping = True
             self._qcond.notify_all()
+            threads = self._threads
+        threads[0].join(timeout=30)  # dispatcher
         for _ in range(self.COLLECTORS):
             self._collect_q.put(None)
         self._precompile_q.put(None)
-        for t in self._threads:
+        for t in threads[1:]:
             t.join(timeout=10)
-        with self._qcond:
-            self._threads = None
-            self._stopping = False
+        if not any(t.is_alive() for t in threads):
+            with self._qcond:
+                self._threads = None
+                self._stopping = False
 
     def _claim_locked(self, key=None, space=MAX_BATCH) -> List[_PendingSearch]:
         """Pop up to `space` same-group requests (group of the queue head
@@ -378,6 +386,11 @@ class BatchingSearcher(Searcher):
                 while not self._pending and not self._stopping:
                     self._qcond.wait()
                 if self._stopping:
+                    for r in self._pending:
+                        if r.state == _PendingSearch.PENDING:
+                            r.error = RuntimeError("searcher closed")
+                            r.done.set()
+                    self._pending = []
                     return
                 batch = self._claim_locked()
                 busy = bool(self._pending) or self._inflight > 0
@@ -407,8 +420,19 @@ class BatchingSearcher(Searcher):
                 # head at the warm size NOW (chunks pipeline back-to-back
                 # with no compile stall) and requeue the tail — the exact
                 # bucket is already compiling in the background.
+                now = time.monotonic()
                 with self._qcond:
                     for r in reversed(batch[b:]):
+                        if r.deadline is not None and now >= r.deadline:
+                            # The caller may have seen CLAIMED and committed
+                            # to the long wait — resolve, don't re-strand.
+                            from .errors import SearchTimeout
+
+                            r.state = _PendingSearch.ABANDONED
+                            r.snapshot = None
+                            r.error = SearchTimeout("search deadline expired while batched")
+                            r.done.set()
+                            continue
                         r.state = _PendingSearch.PENDING
                         self._pending.insert(0, r)
                     self._qcond.notify()
@@ -576,7 +600,7 @@ class BatchingSearcher(Searcher):
     def warm(
         self,
         snapshot: Snapshot,
-        q_buckets: Sequence[int] = (64, 256),
+        q_buckets: Sequence[int] = (64, 128, 256),
         batch_sizes: Sequence[int] = (1, 16, 256),
         out_bucket: int = 128,
     ) -> None:

@@ -113,11 +113,15 @@ def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo,
         j = jnp.clip(j, 0, S * Q - 1)
         onehot = (jnp.arange(S * Q, dtype=jnp.int32)[None, :] == j[:, None]).astype(jnp.float32)
         cum_before = (cum - flat_counts).astype(jnp.float32)  # < 2^24: exact in f32
-        cb = jnp.dot(onehot, cum_before, preferred_element_type=jnp.float32).astype(jnp.int32)
+        # precision=HIGHEST pins true-f32 dots: extraction exactness relies
+        # on exact f32 integer arithmetic, which a bf16 DEFAULT matmul
+        # precision would silently break.
+        hi_p = jax.lax.Precision.HIGHEST
+        cb = jnp.dot(onehot, cum_before, preferred_element_type=jnp.float32, precision=hi_p).astype(jnp.int32)
         # flat_lo can exceed 2^24 (table positions): extract in two exact
         # 16-bit halves.
-        lo_lo = jnp.dot(onehot, (flat_lo & 0xFFFF).astype(jnp.float32), preferred_element_type=jnp.float32)
-        lo_hi = jnp.dot(onehot, (flat_lo >> 16).astype(jnp.float32), preferred_element_type=jnp.float32)
+        lo_lo = jnp.dot(onehot, (flat_lo & 0xFFFF).astype(jnp.float32), preferred_element_type=jnp.float32, precision=hi_p)
+        lo_hi = jnp.dot(onehot, (flat_lo >> 16).astype(jnp.float32), preferred_element_type=jnp.float32, precision=hi_p)
         within = pos - cb
         src = (lo_hi.astype(jnp.int32) << 16) + lo_lo.astype(jnp.int32) + within
     else:
@@ -164,8 +168,9 @@ def _tier_ranges_dense(tier, queries, valid_q, cap_k):
     lt = (tier["hashes"][None, :] < qf[:, None]).astype(jnp.float32)
     le = (tier["hashes"][None, :] <= qf[:, None]).astype(jnp.float32)
     # Counts <= cap <= 4096 are exact in f32.
-    lt_c = jnp.dot(lt, in_seg.T, preferred_element_type=jnp.float32)
-    le_c = jnp.dot(le, in_seg.T, preferred_element_type=jnp.float32)
+    hi_p = jax.lax.Precision.HIGHEST  # exact f32 dots (see _plan_and_gather)
+    lt_c = jnp.dot(lt, in_seg.T, preferred_element_type=jnp.float32, precision=hi_p)
+    le_c = jnp.dot(le, in_seg.T, preferred_element_type=jnp.float32, precision=hi_p)
     # (B*Q, S) -> (B, S, Q)
     cnt = (le_c - lt_c).astype(jnp.int32).reshape(B, Q, S).transpose(0, 2, 1)
     lo = lt_c.astype(jnp.int32).reshape(B, Q, S).transpose(0, 2, 1) + tier["seg_start"][None, :, None]
@@ -193,7 +198,14 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
         # HBM gathers hurt; small tiers compare densely.
         if "block_index" in tier and tier["hashes"].shape[0] >= 64 * BLOCK:
             outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
-        elif tier["hashes"].shape[0] <= 4096:
+        elif (
+            tier["hashes"].shape[0] <= 4096
+            and B * Q * tier["hashes"].shape[0] <= (1 << 28)
+        ):
+            # The dense compare materializes (B*Q, cap) f32 operands; the
+            # volume bound keeps that under ~1GB (a 4096-bucket batch of
+            # 256 queries against a 4096-entry tier would otherwise build
+            # 16GB operands and OOM HBM).
             outs.append(_tier_ranges_dense(tier, queries, valid_q, K))
         else:
             lo, cnt, trunc = jax.vmap(
@@ -202,18 +214,6 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
             outs.append((lo, cnt, jnp.any(trunc)))
     (f_lo, f_cnt, f_tr), (m_lo, m_cnt, m_tr) = outs
     return f_lo, f_cnt, m_lo, m_cnt, jnp.logical_or(f_tr, m_tr)
-
-
-def _gather_hits(p: SearchParams, file_tier, mem_tier, query, q_len):
-    """Single-query stage 1+2 with the XLA range phase (used by the sharded
-    path, which runs under shard_map)."""
-    Q, K = p.query_len, p.per_hash_cap
-    valid_q = (jnp.arange(Q, dtype=jnp.int32) < q_len)[None, :]
-    f_lo, f_counts, f_trunc = _tier_ranges(file_tier, query, valid_q, K)
-    m_lo, m_counts, m_trunc = _tier_ranges(mem_tier, query, valid_q, K)
-    d, o, inv, total, over = _plan_and_gather(p, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts)
-    truncated = jnp.logical_or(jnp.logical_or(f_trunc, m_trunc), over)
-    return d, o, inv, total, truncated
 
 
 def tier_newest_ord(tier, cand_ids):
@@ -310,35 +310,15 @@ def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_scor
     }
 
 
-def _score_select(p: SearchParams, S, d, o, inv, newest_fn, limit, min_score, pct):
-    """Stage 3-7 for one query with a caller-supplied supersession oracle
-    (the sharded path pmaxes it across docid shards)."""
-    cd, co, csc, c_valid, c_over = _score_rank(p, d, o, inv, min_score)
-    out = _final_select(p, cd, co, csc, c_valid, newest_fn(cd), limit, min_score, pct)
-    out["cand_truncated"] = c_over
-    return out
-
-
-def _newest_fn_for(file_tier, mem_tier):
-    S_F = file_tier["seg_start"].shape[0]
-
-    def newest_fn(cand_ids):
-        f = tier_newest_ord(file_tier, cand_ids)
-        m = tier_newest_ord(mem_tier, cand_ids)
-        m_global = jnp.where(m >= 0, m + S_F, -1)
-        return jnp.maximum(f, m_global)
-
-    return newest_fn
-
-
 def segments_mentioning(file_tier, mem_tier) -> jax.Array:
     """How many segments carry any doc mentions (insert or tombstone).
     Falls back to postings-bearing slots when the view carries no docs_len
     (hand-built bench tiers)."""
-    key = "docs_len" if "docs_len" in file_tier else "seg_len"
-    return jnp.sum((file_tier[key] > 0).astype(jnp.int32)) + jnp.sum(
-        (mem_tier[key] > 0).astype(jnp.int32)
-    )
+    def count(tier):
+        key = "docs_len" if "docs_len" in tier else "seg_len"
+        return jnp.sum((tier[key] > 0).astype(jnp.int32))
+
+    return count(file_tier) + count(mem_tier)
 
 
 def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat, n_mentioning=None):
@@ -435,10 +415,11 @@ def _rank_extract(p: SearchParams, d, score, keep, limit):
     onehot = jnp.logical_and(final[None, :], r_iota[:, None] == rank[None, :]).astype(
         jnp.float32
     )  # (out_len, P)
-    id_lo = jnp.dot(onehot, (d & jnp.uint32(0xFFFF)).astype(jnp.float32), preferred_element_type=jnp.float32)
-    id_hi = jnp.dot(onehot, (d >> 16).astype(jnp.float32), preferred_element_type=jnp.float32)
+    hi_p = jax.lax.Precision.HIGHEST  # exact f32 dots (see _plan_and_gather)
+    id_lo = jnp.dot(onehot, (d & jnp.uint32(0xFFFF)).astype(jnp.float32), preferred_element_type=jnp.float32, precision=hi_p)
+    id_hi = jnp.dot(onehot, (d >> 16).astype(jnp.float32), preferred_element_type=jnp.float32, precision=hi_p)
     out_ids = (id_hi.astype(jnp.uint32) << 16) + id_lo.astype(jnp.uint32)
-    out_scores = jnp.dot(onehot, score.astype(jnp.float32), preferred_element_type=jnp.float32).astype(jnp.int32)
+    out_scores = jnp.dot(onehot, score.astype(jnp.float32), preferred_element_type=jnp.float32, precision=hi_p).astype(jnp.int32)
     return {"ids": out_ids, "scores": out_scores, "count": n}
 
 
