@@ -146,3 +146,39 @@ def test_submit_open_loop_matches_sync(snap):
         res, stats = h.result()
         assert res[0].id == k + 1, (k, res)
     s.close()
+
+
+def test_close_fails_pending_instead_of_hanging(snap):
+    """close() must resolve still-queued requests with an error (never
+    strand a caller in an unbounded wait) and leave launched batches to
+    drain through the collectors."""
+    opts = SearchOptions(max_results=5, min_score=1, min_score_pct=0)
+    s = BatchingSearcher(max_wait=5.0)  # long coalesce: requests sit queued
+    # Warm one shape so the pipeline threads exist.
+    params = _params_for(64)
+    padded = np.zeros(64, np.uint32)
+    padded[:2] = (10, 11)
+    s._run_batch_traced(snap, params, [(padded, 2, opts)])
+    handles = [s.submit(snap, [10 * (k + 1), 10 * (k + 1) + 1], opts) for k in range(1, 4)]
+    time.sleep(0.05)
+    s.close()
+    outcomes = []
+    for h in handles:
+        try:
+            res, _ = h.result()
+            outcomes.append(("ok", res))
+        except RuntimeError as exc:
+            outcomes.append(("err", str(exc)))
+    # Every handle resolved (served before close or failed by it) — the
+    # assert is that result() RETURNED for all of them.
+    assert len(outcomes) == 3, outcomes
+
+
+def test_warm_defaults_cover_primary_serving_bucket(snap):
+    """warm() must precompile the 128-hash bucket — the shape real
+    fingerprint queries (~120 hashes) serve from."""
+    s = BatchingSearcher()
+    s.warm(snap, batch_sizes=(1,))
+    warm_qlens = {key[0].query_len for key in s._warm}
+    assert 128 in warm_qlens, warm_qlens
+    s.close()
