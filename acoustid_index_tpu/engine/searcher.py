@@ -253,6 +253,9 @@ class BatchingSearcher(Searcher):
         self._warm = set()
         self._precompiling = set()
         self._shape_cache: Dict[int, tuple] = {}
+        # (file token, mem token) of the most recently submitted request —
+        # lets the precompiler drop requests for superseded views.
+        self._latest_group = None
 
     # ---- submission ----
 
@@ -274,10 +277,24 @@ class BatchingSearcher(Searcher):
         out_bucket = _out_bucket_for(options.max_results)
         padded = np.zeros(bucket, dtype=np.uint32)
         padded[:q_len] = q
-        key = (id(snapshot.file_view), id(snapshot.mem_view), bucket, out_bucket)
+        key = (
+            snapshot.file_view.get("view_token", id(snapshot.file_view)),
+            snapshot.mem_view.get("view_token", id(snapshot.mem_view)),
+            bucket,
+            out_bucket,
+        )
         req = _PendingSearch(self, key, snapshot, padded, q_len, options, deadline)
         with self._qcond:
+            if self._stopping:
+                # A request accepted while stopping would never be claimed
+                # (the dispatcher is exiting) — fail fast instead of letting
+                # the caller block MAX_RESULT_WAIT.
+                req.error = RuntimeError("searcher closed")
+                req.snapshot = None
+                req.done.set()
+                return req
             self._ensure_threads_locked()
+            self._latest_group = key[:2]
             self._pending.append(req)
             self._qcond.notify()
         return req
@@ -292,10 +309,14 @@ class BatchingSearcher(Searcher):
         return self._await(self.submit(snapshot, query, options, deadline))
 
     def _await(self, req: _PendingSearch):
-        timeout = None
-        if req.deadline is not None:
-            timeout = max(0.0, req.deadline - time.monotonic())
-        if not req.done.wait(timeout):
+        if req.deadline is None:
+            # No deadline (legacy sessions may run with timeout 0 = none):
+            # still bound the wait so a lost batch surfaces as an error.
+            if not req.done.wait(self.MAX_RESULT_WAIT):
+                raise RuntimeError("batched search dispatcher never completed")
+        elif not req.done.wait(max(0.0, req.deadline - time.monotonic())):
+            from .errors import SearchTimeout
+
             with self._qlock:
                 if req.state == _PendingSearch.PENDING:
                     # Deadline expired while still queued: refuse (the
@@ -303,14 +324,14 @@ class BatchingSearcher(Searcher):
                     # queue is the analogous cancellation point).
                     req.state = _PendingSearch.ABANDONED
                     req.snapshot = None
-                    from .errors import SearchTimeout
-
                     raise SearchTimeout("search deadline expired while batched")
-            # Already claimed: the batch is on the device; its (bounded)
-            # latency does NOT count against the deadline — first-compile of
-            # a cold bucket takes minutes and must not fail requests.
-            if not req.done.wait(self.MAX_RESULT_WAIT):
-                raise RuntimeError("batched search dispatcher never completed")
+            # Already claimed: the deadline is ABSOLUTE (the reference arms
+            # an AutoCancel over the whole search, MultiIndex.zig:314-316),
+            # so the caller is released NOW even if the batch is stuck
+            # behind a cold compile — the compile itself stays alive and
+            # warms the bucket for future requests; the collector resolves
+            # this request harmlessly when the batch lands.
+            raise SearchTimeout("search deadline expired while batched")
         if req.error is not None:
             raise req.error
         if req.direct is not None:
@@ -339,22 +360,23 @@ class BatchingSearcher(Searcher):
         self._threads = ts
 
     def close(self) -> None:
-        """Stop the pipeline threads (daemonized, so optional).  Order
-        matters: the dispatcher exits first (failing still-queued requests
-        so no caller is stranded), THEN the collector sentinels go in —
-        queue FIFO guarantees collectors drain every launched batch before
-        exiting.  If a join times out (dispatcher mid-compile), the
-        searcher stays marked stopping so no second pipeline can start."""
+        """Stop the pipeline threads (daemonized, so optional).  The
+        DISPATCHER enqueues the collector sentinels itself as its last act
+        (failing still-queued requests first, so no caller is stranded) —
+        queue FIFO then guarantees collectors drain every launched batch
+        before exiting, even if this close() times out waiting for a
+        mid-compile dispatcher (the sentinels land AFTER its final batch,
+        not before).  If a join times out the searcher stays marked
+        stopping so no second pipeline can start; submit() rejects new
+        requests while stopping."""
         with self._qcond:
             if self._threads is None:
                 return
             self._stopping = True
             self._qcond.notify_all()
             threads = self._threads
-        threads[0].join(timeout=30)  # dispatcher
-        for _ in range(self.COLLECTORS):
-            self._collect_q.put(None)
         self._precompile_q.put(None)
+        threads[0].join(timeout=30)  # dispatcher (enqueues collector sentinels)
         for t in threads[1:]:
             t.join(timeout=10)
         if not any(t.is_alive() for t in threads):
@@ -391,6 +413,11 @@ class BatchingSearcher(Searcher):
                             r.error = RuntimeError("searcher closed")
                             r.done.set()
                     self._pending = []
+                    # Last act: release the collectors.  Enqueued HERE (not
+                    # in close()) so FIFO puts the sentinels after the final
+                    # launched batch even when close() stops waiting early.
+                    for _ in range(self.COLLECTORS):
+                        self._collect_q.put(None)
                     return
                 batch = self._claim_locked()
                 busy = bool(self._pending) or self._inflight > 0
@@ -460,23 +487,30 @@ class BatchingSearcher(Searcher):
     def _shape_key(self, snapshot, params: SearchParams, b: int):
         """Everything the compiled program's identity depends on: static
         params, batch bucket, and the (bucketed) view array shapes.  Views
-        are immutable, so the shape tuple is cached by view identity.  The
-        cache holds the view STRONGLY (a freed dict's id could be recycled
-        by a new view with different shapes, and a stale hit would falsely
-        mark a cold program warm — an inline-compile stall on the
-        dispatcher); the bound keeps retained old views negligible."""
+        are immutable and carry a process-unique `view_token` (see
+        engine/segments.py), so the shape tuple is cached by token — unique
+        forever, so no id-recycling hazard, and the cache never holds the
+        view itself (a strong reference would pin superseded device buffers
+        in HBM past their last reader)."""
         cache = self._shape_cache
 
         def shapes(view):
-            got = cache.get(id(view))
-            if got is not None and got[0] is view:
-                return got[1]
+            tok = view.get("view_token")
+            if tok is not None:
+                got = cache.get(tok)
+                if got is not None:
+                    return got
             shp = tuple(
-                sorted((k, tuple(getattr(v, "shape", ()))) for k, v in view.items())
+                sorted(
+                    (k, tuple(getattr(v, "shape", ())))
+                    for k, v in view.items()
+                    if k != "view_token"
+                )
             )
-            if len(cache) >= 16:
-                cache.clear()
-            cache[id(view)] = (view, shp)
+            if tok is not None:
+                if len(cache) >= 64:
+                    cache.clear()
+                cache[tok] = shp
             return shp
 
         return (params, b, shapes(snapshot.file_view), shapes(snapshot.mem_view))
@@ -496,8 +530,12 @@ class BatchingSearcher(Searcher):
         if not warm:
             return b_exact  # nothing warm at all: compile inline
         if key_exact not in self._precompiling:
+            import weakref
+
             self._precompiling.add(key_exact)
-            self._precompile_q.put((snapshot, params, b_exact, key_exact))
+            # Weakref: a minutes-long background compile must not pin a
+            # superseded snapshot's device buffers in HBM.
+            self._precompile_q.put((weakref.ref(snapshot), params, b_exact, key_exact))
         fitting = [b for b in warm if b >= n]
         return fitting[0] if fitting else warm[-1]
 
@@ -509,8 +547,17 @@ class BatchingSearcher(Searcher):
             item = self._precompile_q.get()
             if item is None:
                 return
-            snapshot, params, b, key = item
+            snapshot_ref, params, b, key = item
             try:
+                snapshot = snapshot_ref()
+                if snapshot is None or snapshot.file_view is None:
+                    continue  # snapshot superseded and collected: moot
+                group = (
+                    snapshot.file_view.get("view_token"),
+                    snapshot.mem_view.get("view_token"),
+                )
+                if group[0] is not None and self._latest_group not in (None, group):
+                    continue  # views superseded: don't pin them through a compile
                 req = (np.zeros(params.query_len, np.uint32), 1, SearchOptions())
                 self._launch(snapshot, params, self._pack_batch(params, [req] * b, b))
                 self._warm.add(key)
@@ -532,8 +579,18 @@ class BatchingSearcher(Searcher):
             try:
                 packed = np.asarray(jax.device_get(handle))
                 out = unpack_outputs_np(packed, params.out_len)
+                now = time.monotonic()
                 for i, req in enumerate(batch):
-                    req.row = {k: v[i] for k, v in out.items()}
+                    if req.deadline is not None and now >= req.deadline:
+                        # The batch landed past this request's absolute
+                        # deadline (it was stuck behind a cold compile):
+                        # resolve as a timeout, matching what _await already
+                        # told the caller — never serve results late.
+                        from .errors import SearchTimeout
+
+                        req.error = SearchTimeout("search deadline expired while batched")
+                    else:
+                        req.row = {k: v[i] for k, v in out.items()}
                     req.snapshot = None
                     req.done.set()
             except Exception as exc:  # noqa: BLE001 — propagated per-request

@@ -23,6 +23,7 @@ index size while HBM waste stays under 33%.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field, replace
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -35,6 +36,14 @@ FILE_SLOTS = 64
 MEMORY_SLOTS = 32
 SLOT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 SENTINEL32 = np.uint32(0xFFFFFFFF)
+
+# Every packed view carries a process-unique token (plain int, host-side
+# only): caches that need view identity (e.g. the searcher's warm-program
+# shape cache) key on the token instead of id(view), which both avoids the
+# id-recycling hazard and lets caches drop the view reference — a strong
+# reference would pin superseded device buffers (GBs at 100M+ docs) in HBM
+# past their last reader.
+_VIEW_TOKENS = itertools.count(1)
 
 
 def _bucket(n: int, minimum: int) -> int:
@@ -157,6 +166,7 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
         "mention_ids": jnp.asarray(m_ids),
         "mention_ord": jnp.asarray(m_ord),
         "mention_len": jnp.asarray(np.int32(mention_ids.shape[0])),
+        "view_token": next(_VIEW_TOKENS),
     }
 
 

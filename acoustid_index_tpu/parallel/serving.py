@@ -45,7 +45,11 @@ class ShardedBatchingSearcher(BatchingSearcher):
             segments, self.n_shards, slot_bucket(len(segments), slots)
         )
         sharding = NamedSharding(self.mesh, P(AXIS))
-        return {k: jax.device_put(v, sharding) for k, v in view_np.items()}
+        view = {k: jax.device_put(v, sharding) for k, v in view_np.items()}
+        from ..engine.segments import _VIEW_TOKENS
+
+        view["view_token"] = next(_VIEW_TOKENS)
+        return view
 
     def pack_file_tier(self, segments) -> Dict:
         return self._pack(segments, FILE_SLOTS)

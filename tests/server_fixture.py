@@ -13,6 +13,35 @@ import requests
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def post_search(url, retry_s=60.0, **kwargs):
+    """POST a search, retrying 503 SearchTimeout/IndexNotReady responses.
+
+    The search deadline is absolute (matching the reference's AutoCancel,
+    MultiIndex.zig:314-316): a request that lands behind a cold program
+    compile is refused with 503 SearchTimeout rather than served late, and
+    503 is the retryable status by contract — the same way the cluster
+    tests poll through 503-while-bootstrapping."""
+    deadline = time.time() + retry_s
+    while True:
+        r = requests.post(url, **kwargs)
+        if r.status_code == 503 and time.time() < deadline:
+            err = None
+            try:
+                err = r.json().get("error")
+            except Exception:
+                try:
+                    import msgpack
+
+                    d = msgpack.unpackb(r.content)
+                    err = d.get("e") or d.get("error")
+                except Exception:
+                    pass
+            if err in ("SearchTimeout", "IndexNotReady"):
+                time.sleep(0.1)
+                continue
+        return r
+
+
 class Server:
     def __init__(self, data_dir, extra_args=(), env_extra=None):
         self.data_dir = str(data_dir)

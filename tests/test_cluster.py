@@ -9,7 +9,7 @@ import time
 import pytest
 import requests
 
-from server_fixture import Server
+from server_fixture import Server, post_search
 
 
 class Coordinator(Server):
@@ -63,10 +63,10 @@ def test_cluster_end_to_end(cluster, tmp_path):
     # Read-your-writes on A; async convergence on B.
     r = requests.put(a.url("/idx/1"), json={"hashes": [10, 20, 30]})
     assert r.status_code == 200, r.text
-    got = requests.post(a.url("/idx/_search"), json={"query": [10, 20, 30], "score_pct": 0}).json()
+    got = post_search(a.url("/idx/_search"), json={"query": [10, 20, 30], "score_pct": 0}).json()
     assert got["results"] == [{"id": 1, "score": 3}]
     wait_until(
-        lambda: requests.post(b.url("/idx/_search"), json={"query": [10, 20, 30], "score_pct": 0}).json().get("results")
+        lambda: post_search(b.url("/idx/_search"), json={"query": [10, 20, 30], "score_pct": 0}).json().get("results")
         == [{"id": 1, "score": 3}],
         what="data on b",
     )
@@ -100,11 +100,11 @@ def test_cluster_end_to_end(cluster, tmp_path):
     wait_until(lambda: requests.head(a.url("/idx")).status_code == 200, what="recreate on a")
     requests.put(b.url("/idx/5"), json={"hashes": [50]})
     wait_until(
-        lambda: requests.post(a.url("/idx/_search"), json={"query": [50], "score_pct": 0}).json().get("results")
+        lambda: post_search(a.url("/idx/_search"), json={"query": [50], "score_pct": 0}).json().get("results")
         == [{"id": 5, "score": 1}],
         what="fresh lineage data on a",
     )
-    got = requests.post(a.url("/idx/_search"), json={"query": [10, 20, 30], "score_pct": 0}).json()
+    got = post_search(a.url("/idx/_search"), json={"query": [10, 20, 30], "score_pct": 0}).json()
     assert got["results"] == []  # old lineage's data is gone
 
 
@@ -146,14 +146,14 @@ def test_cluster_bootstrap_from_peer(cluster):
         what="c bootstrapped",
         timeout=90,
     )
-    got = requests.post(c.url("/idx/_search"), json={"query": [777, 5], "score_pct": 0, "min_score": 1}).json()
-    want = requests.post(a.url("/idx/_search"), json={"query": [777, 5], "score_pct": 0, "min_score": 1}).json()
+    got = post_search(c.url("/idx/_search"), json={"query": [777, 5], "score_pct": 0, "min_score": 1}).json()
+    want = post_search(a.url("/idx/_search"), json={"query": [777, 5], "score_pct": 0, "min_score": 1}).json()
     assert got == want and want["results"]
 
     # New writes still reach the bootstrapped node.
     requests.put(a.url("/idx/99"), json={"hashes": [999]})
     wait_until(
-        lambda: requests.post(c.url("/idx/_search"), json={"query": [999], "score_pct": 0}).json().get("results")
+        lambda: post_search(c.url("/idx/_search"), json={"query": [999], "score_pct": 0}).json().get("results")
         == [{"id": 99, "score": 1}],
         what="post-bootstrap consumption on c",
     )

@@ -9,7 +9,7 @@ import msgpack
 import pytest
 import requests
 
-from server_fixture import Server
+from server_fixture import Server, post_search
 
 MSGPACK_CT = "application/vnd.msgpack"
 
@@ -95,19 +95,19 @@ def test_fingerprint_crud_and_search(server, index):
     assert requests.head(u(f"/{index}/99")).status_code == 404
     assert requests.get(u(f"/{index}/1")).json()["version"] == 1
 
-    r = requests.post(u(f"/{index}/_search"), json={"query": [100, 200, 300]})
+    r = post_search(u(f"/{index}/_search"), json={"query": [100, 200, 300]})
     assert r.status_code == 200
     results = r.json()["results"]
     assert results[0] == {"id": 1, "score": 3}
 
     # Exact scoring: doc 2 intersects on 200,300.
-    r = requests.post(u(f"/{index}/_search"), json={"query": [200, 300, 400], "min_score": 1, "score_pct": 0})
+    r = post_search(u(f"/{index}/_search"), json={"query": [200, 300, 400], "min_score": 1, "score_pct": 0})
     assert [x["id"] for x in r.json()["results"]] == [2, 1]
 
     requests.delete(u(f"/{index}/1"))
     assert requests.head(u(f"/{index}/1")).status_code == 404
     assert requests.get(u(f"/{index}/1")).status_code == 404
-    r = requests.post(u(f"/{index}/_search"), json={"query": [100, 200, 300], "score_pct": 0})
+    r = post_search(u(f"/{index}/_search"), json={"query": [100, 200, 300], "score_pct": 0})
     assert [x["id"] for x in r.json()["results"]] == [2]
 
 
@@ -140,7 +140,7 @@ def test_update_batch_and_versioning(server, index):
     assert r.status_code == 200 and r.json()["version"] == v + 1
 
     # Deleted-in-batch doc is invisible.
-    r = requests.post(u(f"/{index}/_search"), json={"query": [1, 2, 3], "score_pct": 0})
+    r = post_search(u(f"/{index}/_search"), json={"query": [1, 2, 3], "score_pct": 0})
     assert [x["id"] for x in r.json()["results"]] == [11]
 
     # id 0 is rejected.
@@ -168,25 +168,25 @@ def test_content_negotiation_msgpack(server, index):
     assert msgpack.unpackb(r.content) == {"v": 1}
 
     q = msgpack.packb({"q": [42, 43], "s": 0})
-    r = requests.post(u(f"/{index}/_search"), data=q, headers={"Content-Type": MSGPACK_CT})
+    r = post_search(u(f"/{index}/_search"), data=q, headers={"Content-Type": MSGPACK_CT})
     assert msgpack.unpackb(r.content) == {"r": [{"i": 7, "s": 2}]}
 
     # Explicit Accept overrides: msgpack body, JSON answer.
-    r = requests.post(
+    r = post_search(
         u(f"/{index}/_search"), data=q, headers={"Content-Type": MSGPACK_CT, "Accept": "application/json"}
     )
     assert r.json() == {"results": [{"id": 7, "score": 2}]}
 
     # A body with no Content-Type defaults to msgpack.
-    r = requests.post(u(f"/{index}/_search"), data=q)
+    r = post_search(u(f"/{index}/_search"), data=q)
     assert msgpack.unpackb(r.content) == {"r": [{"i": 7, "s": 2}]}
 
     # Unsupported media type.
-    r = requests.post(u(f"/{index}/_search"), data=b"x", headers={"Content-Type": "text/csv"})
+    r = post_search(u(f"/{index}/_search"), data=b"x", headers={"Content-Type": "text/csv"})
     assert r.status_code == 415
 
     # Error bodies are negotiated too.
-    r = requests.post(
+    r = post_search(
         u(f"/{index}/_search"), data=msgpack.packb({"q": "notalist"}), headers={"Content-Type": MSGPACK_CT}
     )
     assert r.status_code == 400
@@ -197,9 +197,9 @@ def test_search_limits_sanitized(server, index):
     u = server.url
     for i in range(1, 30):
         requests.put(u(f"/{index}/{i}"), json={"hashes": [777]})
-    r = requests.post(u(f"/{index}/_search"), json={"query": [777], "limit": 100000, "score_pct": 0, "min_score": 1})
+    r = post_search(u(f"/{index}/_search"), json={"query": [777], "limit": 100000, "score_pct": 0, "min_score": 1})
     assert len(r.json()["results"]) == 29  # capped at 100, not 100000
-    r = requests.post(u(f"/{index}/_search"), json={"query": [777], "limit": 0, "score_pct": 0})
+    r = post_search(u(f"/{index}/_search"), json={"query": [777], "limit": 0, "score_pct": 0})
     assert len(r.json()["results"]) == 1  # clamped up to 1
 
 
@@ -214,14 +214,14 @@ def test_search_param_validation(server, index):
         {"query": [1, -5]},
         {"query": [2**40]},
     ):
-        r = requests.post(u(f"/{index}/_search"), json=body)
+        r = post_search(u(f"/{index}/_search"), json=body)
         assert r.status_code == 400, (body, r.status_code, r.text)
         assert r.json()["error"] == "BadRequest"
 
 
 def test_missing_index_errors(server):
     u = server.url
-    r = requests.post(u("/nosuch/_search"), json={"query": [1]})
+    r = post_search(u("/nosuch/_search"), json={"query": [1]})
     assert r.status_code == 404 and r.json()["error"] == "IndexNotFound"
     r = requests.post(u("/nosuch/_update"), json={"changes": []})
     assert r.status_code == 404
@@ -230,7 +230,7 @@ def test_missing_index_errors(server):
 def test_metrics_endpoint(server, index):
     u = server.url
     requests.put(u(f"/{index}/1"), json={"hashes": [1]})
-    requests.post(u(f"/{index}/_search"), json={"query": [1]})
+    post_search(u(f"/{index}/_search"), json={"query": [1]})
     text = requests.get(u("/_metrics")).text
     assert f'aitpu_searches_total{{index="{index}"}}' in text
     assert "aitpu_search_seconds_bucket" in text
@@ -244,19 +244,19 @@ def test_persistence_across_restarts(tmp_path):
         requests.put(u("/persist"))
         for i in range(1, 40):
             requests.put(u(f"/persist/{i}"), json={"hashes": [i, i + 1, 1000]})
-        want = requests.post(u("/persist/_search"), json={"query": [1000, 5, 6], "score_pct": 0, "min_score": 1}).json()
+        want = post_search(u("/persist/_search"), json={"query": [1000, 5, 6], "score_pct": 0, "min_score": 1}).json()
         assert want["results"]
 
         s.restart()  # soft
-        got = requests.post(s.url("/persist/_search"), json={"query": [1000, 5, 6], "score_pct": 0, "min_score": 1}).json()
+        got = post_search(s.url("/persist/_search"), json={"query": [1000, 5, 6], "score_pct": 0, "min_score": 1}).json()
         assert got == want
 
         for i in range(40, 60):
             requests.put(s.url(f"/persist/{i}"), json={"hashes": [i, i + 1, 1000]})
-        want2 = requests.post(s.url("/persist/_search"), json={"query": [1000, 45], "score_pct": 0, "min_score": 1}).json()
+        want2 = post_search(s.url("/persist/_search"), json={"query": [1000, 45], "score_pct": 0, "min_score": 1}).json()
 
         s.restart(hard=True)  # SIGKILL
-        got2 = requests.post(s.url("/persist/_search"), json={"query": [1000, 45], "score_pct": 0, "min_score": 1}).json()
+        got2 = post_search(s.url("/persist/_search"), json={"query": [1000, 45], "score_pct": 0, "min_score": 1}).json()
         assert got2 == want2
         info = requests.get(s.url("/persist")).json()
         assert info["stats"]["num_docs"] >= 59

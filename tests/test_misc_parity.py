@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 import requests
 
-from server_fixture import Server
+from server_fixture import Server, post_search
 
 
 def test_parallel_loading_restart(tmp_path):
@@ -26,7 +26,7 @@ def test_parallel_loading_restart(tmp_path):
         for i in range(1, 31):
             requests.put(s.url(f"/idx/{i}"), json={"hashes": [i, 500 + i, 9000]})
         # Several checkpoints happened (threshold 5 items); capture state.
-        want = requests.post(
+        want = post_search(
             s.url("/idx/_search"), json={"query": [9000, 505], "score_pct": 0, "min_score": 1}
         ).json()
         # Several checkpoints ran; background merges may or may not have
@@ -35,7 +35,7 @@ def test_parallel_loading_restart(tmp_path):
         s.stop()
         s.extra_args += ["--load-concurrency", "2"]
         s.start()
-        got = requests.post(
+        got = post_search(
             s.url("/idx/_search"), json={"query": [9000, 505], "score_pct": 0, "min_score": 1}
         ).json()
         assert got == want

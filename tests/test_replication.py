@@ -72,7 +72,20 @@ def cluster(tmp_path):
 
 
 def search_ids(node, name, query):
-    res = node.mi.search(name, SearchRequestParams(query=query, min_score=1, score_pct=0))
+    # Retry SearchTimeout: the deadline is absolute (a cold program compile
+    # can eat the default 500ms), and 503/SearchTimeout is retryable by
+    # contract — same client behavior as post_search in server_fixture.
+    deadline = time.time() + 60
+    while True:
+        try:
+            res = node.mi.search(
+                name, SearchRequestParams(query=query, min_score=1, score_pct=0)
+            )
+            break
+        except errors.SearchTimeout:
+            if time.time() >= deadline:
+                raise
+            time.sleep(0.05)
     return [(r.id, r.score) for r in res]
 
 

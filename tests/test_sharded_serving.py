@@ -13,7 +13,7 @@ import requests
 import jax
 
 from oracle import OracleSegment, oracle_search
-from server_fixture import Server
+from server_fixture import Server, post_search
 
 from acoustid_index_tpu.engine.index import Index
 from acoustid_index_tpu.engine.model import Delete, Insert, SearchOptions
@@ -137,7 +137,7 @@ def test_http_server_mesh_shards(tmp_path):
         for i in range(1, 40):
             r = requests.put(u(f"/main/{i}"), json={"hashes": [i * 7, i * 7 + 1, 2**31 + i]})
             assert r.status_code == 200, r.text
-        r = requests.post(
+        r = post_search(
             u("/main/_search"),
             json={"query": [21, 22, 2**31 + 3], "min_score": 1, "score_pct": 0},
         )
@@ -146,7 +146,7 @@ def test_http_server_mesh_shards(tmp_path):
 
         # Durability through restart with the sharded searcher.
         s.restart()
-        r = requests.post(
+        r = post_search(
             u("/main/_search"),
             json={"query": [21, 22, 2**31 + 3], "min_score": 1, "score_pct": 0},
         )
