@@ -114,6 +114,7 @@ class Index:
         sync: bool = True,
         load_concurrency: Optional[int] = None,
         searcher: Optional[Searcher] = None,
+        load_semaphore: Optional[threading.Semaphore] = None,
     ) -> "Index":
         data_dir = os.path.join(path, "data")
         oplog_dir = os.path.join(path, "oplog")
@@ -121,12 +122,22 @@ class Index:
         os.makedirs(oplog_dir, exist_ok=True)
 
         # 1. Load the manifest's file segments (concurrently: loads are
-        # IO-bound whole-file reads; bounded by load_concurrency).
+        # IO-bound whole-file reads).  `load_semaphore` is SHARED across
+        # every index the manager opens so --load-concurrency N bounds the
+        # TOTAL concurrent loads (the reference's single semaphore,
+        # MultiIndex.zig:201-223) — not N per index.
         infos = manifest.read_manifest(data_dir)
         if infos:
+
+            def load(info):
+                if load_semaphore is None:
+                    return filefmt.read_segment(data_dir, info)
+                with load_semaphore:
+                    return filefmt.read_segment(data_dir, info)
+
             workers = load_concurrency or min(8, len(infos))
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                file_segments = list(pool.map(lambda i: filefmt.read_segment(data_dir, i), infos))
+                file_segments = list(pool.map(load, infos))
         else:
             file_segments = []
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import signal
 import sys
 import threading
@@ -130,6 +131,17 @@ def run_server(args) -> None:
     if replicator is not None:
         replicator.stop()
     mi.close()
+    if hasattr(mi.searcher, "close"):
+        mi.searcher.close()  # join the dispatch/collect/precompile threads
+    # All durability work is behind us (WAL synced, manifests written).
+    # Skip interpreter finalization: daemon threads can still be inside XLA
+    # C++ (a warmup compile, a stale device_get), and tearing the
+    # interpreter down under them aborts/segfaults the process (observed:
+    # "FATAL: exception not rethrown" on SIGTERM right after heavy
+    # checkpoint+search activity).  _exit reports the clean shutdown the
+    # operator should see.
+    logging.shutdown()
+    os._exit(0)
 
 
 def run_coordinator(args) -> None:

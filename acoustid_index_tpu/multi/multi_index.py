@@ -70,6 +70,11 @@ class MultiIndex:
         self.checkpoint_age = checkpoint_age
         self.sync = sync
         self.load_concurrency = load_concurrency
+        # ONE semaphore shared by every index this manager opens, so
+        # --load-concurrency N bounds total concurrent segment loads (the
+        # reference's shared semaphore, MultiIndex.zig:201-223); the
+        # per-index × per-manager pool product would otherwise allow N×N.
+        self._load_semaphore = threading.Semaphore(load_concurrency or 8)
         self.searcher = searcher or default_searcher()
         self.replication = None  # set by start_replication (cluster mode)
 
@@ -117,6 +122,7 @@ class MultiIndex:
             sync=self.sync,
             load_concurrency=self.load_concurrency,
             searcher=self.searcher,
+            load_semaphore=self._load_semaphore,
         )
         index.start()
         return index

@@ -250,15 +250,15 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         # at the narrow budget.  The predicate is made GLOBAL with a pmax so
         # all shards take the same lax.cond branch (collectives inside the
         # branches require a replicated predicate).
-        from ..ops.search_kernel import P_SMALL
+        from ..ops.search_kernel import P_SMALL, small_budget
 
+        # candidate_cap bound is INTENTIONALLY n_dev*P_SMALL (not the
+        # single-chip P_SMALL): the ranked stream here is the all_gather'd
+        # union of every shard's P_SMALL-budget hit list.
         n_dev = mesh.devices.size  # static: C must fit the combined stream
         small_ok = params.postings_budget > P_SMALL and params.candidate_cap <= n_dev * P_SMALL
         if small_ok:
-            import dataclasses
-
-            p_small = dataclasses.replace(params, postings_budget=P_SMALL)
-            totals_rough = f_cnt.reshape(B, -1).sum(axis=1) + m_cnt.reshape(B, -1).sum(axis=1)
+            p_small, totals_rough = small_budget(params, f_cnt, m_cnt, B)
             small = jax.lax.pmax(jnp.max(totals_rough), AXIS) <= P_SMALL
             cd, co, csc, c_valid, c_over, totals, overs = jax.lax.cond(
                 small, gather_rank(p_small), gather_rank(params), None

@@ -123,3 +123,60 @@ def test_memory_tier_stays_bounded_under_write_load(tmp_path):
             assert len(idx.acquire_reader().memory) <= MEMORY_SLOTS
     finally:
         idx.close()
+
+
+def test_shared_load_semaphore_bounds_total_loads(tmp_path, monkeypatch):
+    """--load-concurrency N bounds TOTAL concurrent segment loads across all
+    indexes the manager opens — one shared semaphore, not a per-index pool
+    product (the reference's single semaphore, MultiIndex.zig:201-223)."""
+    import os
+
+    from acoustid_index_tpu.engine import filefmt
+    from acoustid_index_tpu.engine.index import Index
+    from acoustid_index_tpu.engine.model import Insert
+    from acoustid_index_tpu.multi import redirect as index_redirect
+    from acoustid_index_tpu.multi.multi_index import MultiIndex
+
+    # Three lineages, four file segments each (checkpoint per batch; no
+    # maintenance thread, so nothing merges them away before the reopen).
+    root = str(tmp_path / "data")
+    for n in ("a", "b", "c"):
+        name_dir = os.path.join(root, n)
+        os.makedirs(name_dir, exist_ok=True)
+        index_redirect.write_redirect(
+            name_dir, index_redirect.IndexRedirect(name=n, generation=1, deleted=False)
+        )
+        idx = Index.open(os.path.join(name_dir, "v000001"), checkpoint_age=None)
+        try:
+            for k in range(4):
+                base = 100 * k
+                idx.update([Insert(id=base + i, hashes=[base + i]) for i in range(1, 4)])
+                assert idx.checkpoint(force=True)
+        finally:
+            idx.close()
+
+    real = filefmt.read_segment
+    lock = threading.Lock()
+    state = {"cur": 0, "peak": 0, "n": 0}
+
+    def tracked(data_dir, info):
+        with lock:
+            state["cur"] += 1
+            state["n"] += 1
+            state["peak"] = max(state["peak"], state["cur"])
+        try:
+            import time as _t
+
+            _t.sleep(0.02)  # widen the race window
+            return real(data_dir, info)
+        finally:
+            with lock:
+                state["cur"] -= 1
+
+    monkeypatch.setattr(filefmt, "read_segment", tracked)
+    mi = MultiIndex.open(str(tmp_path / "data"), checkpoint_age=None, load_concurrency=2)
+    try:
+        assert state["n"] >= 6  # several segments actually loaded
+        assert state["peak"] <= 2, f"peak concurrent loads {state['peak']} > 2"
+    finally:
+        mi.close()
