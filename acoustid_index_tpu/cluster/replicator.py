@@ -42,6 +42,32 @@ READ_BATCH = 1000
 POLL_WINDOW = 1.0  # data/meta read deadline per iteration
 
 
+class _DeadlineStream:
+    """Corpus-stream proxy enforcing the whole-transfer backstop: every
+    next_batch() checks the absolute deadline, so a dripping feed cannot
+    wedge the consumer forever (the reference's AutoCancel over the entire
+    transfer, Replicator.zig:62-69).  The backstop disarms at drain by
+    construction — once the end marker is returned, the install phase runs
+    with no further checks (disarm-before-install, MultiIndex.zig:644-663)."""
+
+    def __init__(self, inner, deadline: Optional[float], what: str):
+        self._inner = inner
+        self._deadline = deadline
+        self._what = what
+
+    @property
+    def position(self) -> int:
+        return self._inner.position
+
+    def next_batch(self):
+        if self._deadline is not None and time.monotonic() > self._deadline:
+            raise errors.ReplicationTimeout(f"{self._what} transfer exceeded its backstop")
+        return self._inner.next_batch()
+
+    def close(self) -> None:
+        self._inner.close()
+
+
 @dataclass
 class _Consumer:
     name: str
@@ -310,7 +336,11 @@ class Replicator:
                 if stream is None:
                     return 0  # feed declares complete history; replay IS the bootstrap
                 try:
-                    version = self.mi.bootstrap_lineage_from_source(name, generation, stream)
+                    version = self.mi.bootstrap_lineage_from_source(
+                        name,
+                        generation,
+                        _DeadlineStream(stream, self._transfer_deadline(), "corpus"),
+                    )
                     with self._applied_cond:
                         consumer.applied = max(consumer.applied, version)
                         self._applied_cond.notify_all()
@@ -356,21 +386,58 @@ class Replicator:
         except errors.IndexError_:
             return False
 
+    def _transfer_deadline(self) -> Optional[float]:
+        return (time.monotonic() + self.bootstrap_timeout) if self.bootstrap_timeout else None
+
+    def _deadline_chunks(self, r, deadline: Optional[float], what: str):
+        """Whole-transfer backstop over an HTTP byte stream: the reference
+        arms one AutoCancel over the ENTIRE snapshot transfer and disarms it
+        once the stream drains (Replicator.zig:62-69, 351-363).  A requests
+        socket timeout is per-socket-op — a donor dripping one byte per few
+        seconds would never trip it — and iter_content(N) blocks until N
+        bytes accumulate (the deadline check would never run against a slow
+        dripper), so this reads via read1(): it returns as soon as ANY data
+        arrives, giving the absolute check data-arrival granularity.  EOF
+        (= drain) is the disarm point; the install that follows runs
+        unclocked.  A truncated stream is caught by the snapshot format's
+        own framing/CRC during restore."""
+        raw = getattr(r, "raw", None)
+        if raw is None or not hasattr(raw, "read1"):
+            for chunk in r.iter_content(chunk_size=65536):
+                if deadline is not None and time.monotonic() > deadline:
+                    raise errors.ReplicationTimeout(f"{what} transfer exceeded its backstop")
+                yield chunk
+            return
+        while True:
+            if deadline is not None and time.monotonic() > deadline:
+                raise errors.ReplicationTimeout(f"{what} transfer exceeded its backstop")
+            chunk = raw.read1(65536)
+            if not chunk:
+                return
+            yield chunk
+
     def _fetch_snapshot(self, consumer: _Consumer, donor) -> Optional[int]:
         import requests
 
         name, generation = consumer.name, consumer.generation
+        deadline = self._transfer_deadline()
         try:
             r = requests.get(
                 f"{donor.base_url}/{name}/_snapshot",
                 stream=True,
-                timeout=self.bootstrap_timeout or None,
+                # Per-socket-op bound (connect / fully-stalled read); the
+                # whole-transfer bound is _deadline_chunks.
+                timeout=min(30.0, self.bootstrap_timeout) if self.bootstrap_timeout else None,
             )
             if r.status_code != 200:
                 r.close()
                 return None
             try:
-                version = self.mi.bootstrap_lineage(name, generation, r.iter_content(chunk_size=65536))
+                version = self.mi.bootstrap_lineage(
+                    name,
+                    generation,
+                    self._deadline_chunks(r, deadline, "snapshot"),
+                )
             finally:
                 r.close()
             with self._applied_cond:

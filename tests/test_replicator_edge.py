@@ -126,3 +126,106 @@ def test_truncated_corpus_stream_never_installs(tmp_path):
         assert mi.get_peer_status("idx")["version"] == 0
     finally:
         mi.close()
+
+
+def test_wedged_peer_probe_is_bounded(monkeypatch):
+    """A listening-but-never-accepting peer (peers.zig:387-453) must not
+    wedge donor discovery: the probe times out and the peer is skipped."""
+    import socket
+
+    from acoustid_index_tpu.cluster import peers as peers_mod
+
+    wedged = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    wedged.bind(("127.0.0.1", 0))
+    wedged.listen(1)  # handshake completes via the backlog; no accept, no bytes
+    port = wedged.getsockname()[1]
+    monkeypatch.setattr(peers_mod, "PROBE_TIMEOUT", 0.5)
+    try:
+        t0 = time.monotonic()
+        donors = peers_mod.find_donors([f"http://127.0.0.1:{port}"], "idx", 1, 0)
+        took = time.monotonic() - t0
+        assert donors == []
+        assert took < 5.0, f"probe not bounded: {took:.1f}s"
+    finally:
+        wedged.close()
+
+
+def test_dripping_snapshot_donor_trips_backstop(tmp_path):
+    """A donor that accepts and then drips the snapshot forever must trip
+    the WHOLE-TRANSFER backstop (Replicator.zig:62-69): the per-socket-op
+    timeout never fires (bytes keep arriving), so only an absolute deadline
+    over the entire transfer can unwedge the consumer."""
+    import socket
+
+    stop_evt = threading.Event()
+
+    def dripper(server):
+        conn, _ = server.accept()
+        conn.recv(65536)
+        conn.sendall(
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
+            b"Content-Length: 1000000\r\n\r\n"
+        )
+        # One byte every 100ms: a per-socket-op read timeout never trips.
+        try:
+            while not stop_evt.is_set():
+                conn.sendall(b"x")
+                stop_evt.wait(0.1)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    t = threading.Thread(target=dripper, args=(server,), daemon=True)
+    t.start()
+
+    coordinator = MemoryCoordinator()
+    mi = MultiIndex.open(str(tmp_path / "n"), checkpoint_age=None, sync=False)
+    repl = Replicator(mi, coordinator, bootstrap_timeout=1.0)
+    try:
+        mi.create_index("idx")
+
+        from acoustid_index_tpu.cluster.peers import Donor
+
+        donor = Donor(base_url=f"http://127.0.0.1:{port}", generation=1, version=5, file_version=5)
+        consumer = repl._consumers.get("idx")
+        if consumer is None:
+            from acoustid_index_tpu.cluster.replicator import _Consumer
+
+            consumer = _Consumer(name="idx", generation=1)
+        t0 = time.monotonic()
+        got = repl._fetch_snapshot(consumer, donor)
+        took = time.monotonic() - t0
+        assert got is None  # transfer aborted, not installed
+        assert took < 10.0, f"backstop did not fire: {took:.1f}s"
+        assert took >= 0.9  # it really streamed until the deadline
+    finally:
+        stop_evt.set()
+        repl.stop()
+        mi.close()
+        server.close()
+
+
+def test_dripping_corpus_stream_trips_backstop():
+    """Same backstop over the corpus stream: a feed yielding batches forever
+    must be cut at the absolute deadline, not trusted to finish."""
+    from acoustid_index_tpu.cluster.replicator import _DeadlineStream
+
+    class ForeverStream(BootstrapStream):
+        position = 10
+
+        def next_batch(self):
+            time.sleep(0.05)
+            return [Insert(id=1, hashes=[1])]
+
+        def close(self):
+            pass
+
+    wrapped = _DeadlineStream(ForeverStream(), time.monotonic() + 0.3, "corpus")
+    with pytest.raises(errors.ReplicationTimeout):
+        for _ in range(1000):
+            wrapped.next_batch()
