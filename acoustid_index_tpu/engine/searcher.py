@@ -34,6 +34,10 @@ MAX_RESULTS = OUT_BUCKETS[-1]
 class SearchStats:
     postings_scanned: int
     truncated: bool
+    # Max postings any single query hash scanned (summed across segments,
+    # both tiers) — the reference's scanned-docs-per-hash load-skew signal
+    # (metrics.zig:96-101), computed on device.
+    max_per_hash: int = 0
 
 
 def _out_bucket_for(limit: int) -> int:
@@ -143,6 +147,7 @@ class Searcher:
         stats = SearchStats(
             postings_scanned=int(out["postings_scanned"]),
             truncated=bool(out["truncated"]),
+            max_per_hash=int(out.get("max_per_hash", 0)),
         )
         return results, stats
 
@@ -684,7 +689,9 @@ class BatchingSearcher(Searcher):
             SearchResult(id=int(out["ids"][i]), score=int(out["scores"][i])) for i in range(n)
         ]
         stats = SearchStats(
-            postings_scanned=int(out["postings_scanned"]), truncated=bool(out["truncated"])
+            postings_scanned=int(out["postings_scanned"]),
+            truncated=bool(out["truncated"]),
+            max_per_hash=int(out.get("max_per_hash", 0)),
         )
         return results, stats
 

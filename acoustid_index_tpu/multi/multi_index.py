@@ -174,6 +174,7 @@ class MultiIndex:
             results, stats = ref.index.search(query, options, deadline=deadline)
             metrics.observe_search_seconds(name, time.monotonic() - start)
             metrics.observe_postings_scanned(stats.postings_scanned)
+            metrics.observe_max_postings_per_hash(stats.max_per_hash)
             if results:
                 metrics.inc_search_hit(name)
             else:

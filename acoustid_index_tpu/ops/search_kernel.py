@@ -471,6 +471,14 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         p_small, totals_rough = small_budget(p, f_cnt, m_cnt, B)
         small = jnp.max(totals_rough) <= P_SMALL
 
+    # Per-query max of per-hash scan work (postings for one hash summed
+    # across segments, both tiers): the reference's scanned-docs-per-hash
+    # histogram (FileSegment.zig:177-178, metrics.zig:96-101) — the
+    # load-skew signal.  One cheap reduction over counts already computed.
+    max_per_hash = jnp.max(
+        f_cnt.sum(axis=1) + m_cnt.sum(axis=1), axis=1
+    ).astype(jnp.int32)
+
     def sort_path(_):
         """Stages 3-7 via the sorting pipeline at the FULL budget (any
         query gathering > P_SMALL postings lands here)."""
@@ -491,7 +499,9 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         return jax.vmap(select_query)(cd, co, csc, c_valid, newest, limits, min_scores, pcts, totals, overs)
 
     if not small_ok:
-        return sort_path(None)
+        res = sort_path(None)
+        res["max_per_hash"] = max_per_hash
+        return res
 
     # Small-budget matrix path: every query's postings fit P_SMALL (the
     # overwhelmingly common serving case — a ~120-hash fingerprint query
@@ -528,12 +538,14 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
 
         return branch
 
-    return jax.lax.cond(
+    res = jax.lax.cond(
         small,
         lambda _: jax.lax.cond(has_mem, matrix_path(True), matrix_path(False), None),
         sort_path,
         None,
     )
+    res["max_per_hash"] = max_per_hash
+    return res
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -577,10 +589,11 @@ def search_segments_batch(params: SearchParams, file_tier, mem_tier, query, q_le
 
 def pack_outputs(out) -> jax.Array:
     """Flatten the per-query output dict into ONE u32 array of shape
-    (B, 2*out_len + 3): ids | scores | count | postings_scanned | truncated.
-    Every device->host array transfer costs a sync round trip (a full RTT on
-    tunneled dev chips, a dispatch+copy on attached ones); one packed array
-    per batch instead of five cuts the serving sync cost ~5x."""
+    (B, 2*out_len + 4): ids | scores | count | postings_scanned | truncated
+    | max_per_hash.  Every device->host array transfer costs a sync round
+    trip (a full RTT on tunneled dev chips, a dispatch+copy on attached
+    ones); one packed array per batch instead of six cuts the serving sync
+    cost accordingly."""
     return jnp.concatenate(
         [
             out["ids"].astype(jnp.uint32),
@@ -588,19 +601,21 @@ def pack_outputs(out) -> jax.Array:
             out["count"].astype(jnp.uint32)[:, None],
             out["postings_scanned"].astype(jnp.uint32)[:, None],
             out["truncated"].astype(jnp.uint32)[:, None],
+            out["max_per_hash"].astype(jnp.uint32)[:, None],
         ],
         axis=1,
     )
 
 
 def unpack_outputs_np(arr, out_len: int):
-    """Host-side inverse of pack_outputs (arr is a numpy (B, 2*out_len+3))."""
+    """Host-side inverse of pack_outputs (arr is a numpy (B, 2*out_len+4))."""
     return {
         "ids": arr[:, :out_len],
         "scores": arr[:, out_len : 2 * out_len],
         "count": arr[:, 2 * out_len],
         "postings_scanned": arr[:, 2 * out_len + 1],
         "truncated": arr[:, 2 * out_len + 2],
+        "max_per_hash": arr[:, 2 * out_len + 3],
     }
 
 

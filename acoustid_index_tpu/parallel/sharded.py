@@ -287,6 +287,11 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         out["truncated"] = jnp.logical_or(
             jax.lax.psum(shard_trunc.astype(jnp.int32), AXIS) > 0, c_over
         )
+        # Per-hash scan skew: a hash lives on exactly ONE hash-range shard
+        # (others count 0 for it), so pmax of the local per-query maxima is
+        # the exact global max-per-hash.
+        local_mph = jnp.max(f_cnt.sum(axis=1) + m_cnt.sum(axis=1), axis=1).astype(jnp.int32)
+        out["max_per_hash"] = jax.lax.pmax(local_mph, AXIS)
         return out
 
     return jax.shard_map(

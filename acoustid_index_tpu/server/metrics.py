@@ -18,6 +18,10 @@ _lock = threading.Lock()
 
 SEARCH_SECONDS_BUCKETS = (0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0)
 POSTINGS_BUCKETS = (1, 10, 100, 1000, 10_000, 100_000, 1_000_000)
+# Per-hash scan work (the reference's scanned-docs-per-hash buckets span
+# 1..1000, metrics.zig:96-101; ours extend past its per-hash cap since the
+# kernel budget is configurable).
+PER_HASH_BUCKETS = (1, 5, 10, 50, 100, 500, 1000, 5000)
 
 
 class _Hist:
@@ -42,6 +46,7 @@ _globals: Dict[str, int] = defaultdict(int)
 _gauges: Dict[Tuple[str, str], float] = {}
 _search_seconds: Dict[str, _Hist] = {}
 _postings = _Hist(POSTINGS_BUCKETS)
+_per_hash = _Hist(PER_HASH_BUCKETS)
 
 
 def _inc(metric: str, index: str):
@@ -93,6 +98,13 @@ def observe_postings_scanned(n: int):
         _postings.observe(n)
 
 
+def observe_max_postings_per_hash(n: int):
+    """Per-query max of postings scanned for one hash — the load-skew
+    signal (a hot hash shows up here long before it dominates totals)."""
+    with _lock:
+        _per_hash.observe(n)
+
+
 def set_docs(index: str, n: int):
     with _lock:
         _gauges[("docs", index)] = n
@@ -117,8 +129,9 @@ def reset():
         _globals.clear()
         _gauges.clear()
         _search_seconds.clear()
-        global _postings
+        global _postings, _per_hash
         _postings = _Hist(POSTINGS_BUCKETS)
+        _per_hash = _Hist(PER_HASH_BUCKETS)
 
 
 PREFIX = "aitpu"
@@ -160,4 +173,12 @@ def render() -> str:
         out.append(f'{PREFIX}_postings_scanned_bucket{{le="+Inf"}} {_postings.total}')
         out.append(f"{PREFIX}_postings_scanned_sum {_postings.sum:g}")
         out.append(f"{PREFIX}_postings_scanned_count {_postings.total}")
+        out.append(f"# TYPE {PREFIX}_scanned_postings_per_hash histogram")
+        cum = 0
+        for b, c in zip(_per_hash.buckets, _per_hash.counts):
+            cum += c
+            out.append(f'{PREFIX}_scanned_postings_per_hash_bucket{{le="{b:g}"}} {cum}')
+        out.append(f'{PREFIX}_scanned_postings_per_hash_bucket{{le="+Inf"}} {_per_hash.total}')
+        out.append(f"{PREFIX}_scanned_postings_per_hash_sum {_per_hash.sum:g}")
+        out.append(f"{PREFIX}_scanned_postings_per_hash_count {_per_hash.total}")
     return "\n".join(out) + "\n"

@@ -234,6 +234,13 @@ def test_metrics_endpoint(server, index):
     text = requests.get(u("/_metrics")).text
     assert f'aitpu_searches_total{{index="{index}"}}' in text
     assert "aitpu_search_seconds_bucket" in text
+    # The per-hash scan histogram (the reference's scanned-docs-per-hash
+    # load-skew signal, metrics.zig:96-101) records real observations.
+    assert "aitpu_scanned_postings_per_hash_bucket" in text
+    count_line = next(
+        l for l in text.splitlines() if l.startswith("aitpu_scanned_postings_per_hash_count")
+    )
+    assert int(count_line.split()[-1]) >= 1
 
 
 def test_persistence_across_restarts(tmp_path):
