@@ -230,8 +230,12 @@ class BatchingSearcher(Searcher):
     in flight from one thread); `search` is submit + wait.
     """
 
-    MAX_IN_FLIGHT = int(os.environ.get("AITPU_SEARCH_IN_FLIGHT", "4"))
-    COLLECTORS = 2  # overlap two device->host RTTs
+    MAX_IN_FLIGHT = int(os.environ.get("AITPU_SEARCH_IN_FLIGHT", "8"))
+    # Each collector blocks a full device->host RTT per batch (~24ms on the
+    # tunneled dev chip); overlapping four keeps the drain rate above the
+    # device's batch completion rate so the in-flight window, not the
+    # fetch path, paces the pipeline.
+    COLLECTORS = int(os.environ.get("AITPU_SEARCH_COLLECTORS", "4"))
     # A dispatched batch must eventually resolve even with no deadline set
     # (cold-bucket compiles take minutes; the API caps timeouts at 10s but
     # legacy sessions may run with timeout 0 = none).
@@ -280,8 +284,15 @@ class BatchingSearcher(Searcher):
             return req
         bucket = next(b for b in QUERY_BUCKETS if b >= q_len)
         out_bucket = _out_bucket_for(options.max_results)
-        padded = np.zeros(bucket, dtype=np.uint32)
+        # The FULL device input row (queries | len | limit | min_score |
+        # pct) is built here, in the (parallel) submitting threads, so the
+        # single dispatcher only stacks rows (see _pack_rows).
+        padded = np.zeros(bucket + 4, dtype=np.uint32)
         padded[:q_len] = q
+        padded[bucket] = q_len
+        padded[bucket + 1] = options.max_results
+        padded[bucket + 2] = options.min_score
+        padded[bucket + 3] = options.min_score_pct
         key = (
             snapshot.file_view.get("view_token", id(snapshot.file_view)),
             snapshot.mem_view.get("view_token", id(snapshot.mem_view)),
@@ -341,7 +352,7 @@ class BatchingSearcher(Searcher):
             raise req.error
         if req.direct is not None:
             return req.direct
-        return self._materialize(req.row)
+        return self._materialize_row(req.row, req.key[3])
 
     # ---- pipeline threads ----
 
@@ -476,7 +487,7 @@ class BatchingSearcher(Searcher):
                     handle = self._launch(
                         snapshot,
                         params,
-                        self._pack_batch(params, [(r.padded, r.q_len, r.options) for r in batch], b),
+                        self._pack_rows(params, [r.padded for r in batch], b),
                     )
                 self._warm.add(self._shape_key(snapshot, params, b))
             except Exception as exc:  # noqa: BLE001 — propagated per-request
@@ -574,8 +585,6 @@ class BatchingSearcher(Searcher):
     def _collect_loop(self) -> None:
         import jax
 
-        from ..ops.search_kernel import unpack_outputs_np
-
         while True:
             item = self._collect_q.get()
             if item is None:
@@ -583,7 +592,6 @@ class BatchingSearcher(Searcher):
             handle, params, batch = item
             try:
                 packed = np.asarray(jax.device_get(handle))
-                out = unpack_outputs_np(packed, params.out_len)
                 now = time.monotonic()
                 for i, req in enumerate(batch):
                     if req.deadline is not None and now >= req.deadline:
@@ -595,7 +603,10 @@ class BatchingSearcher(Searcher):
 
                         req.error = SearchTimeout("search deadline expired while batched")
                     else:
-                        req.row = {k: v[i] for k, v in out.items()}
+                        # Hand out the packed ROW view; the waiting caller's
+                        # thread parses it (_materialize_row), keeping the
+                        # collector's per-request work to a slice + set().
+                        req.row = packed[i]
                     req.snapshot = None
                     req.done.set()
             except Exception as exc:  # noqa: BLE001 — propagated per-request
@@ -610,10 +621,25 @@ class BatchingSearcher(Searcher):
     # ---- batch execution ----
 
     @staticmethod
+    def _pack_rows(params: SearchParams, rows, b: int):
+        """Pre-built (Q+4) request rows -> ONE packed (b, Q+4) u32 input
+        array.  The serving hot path: submit() builds each row in the
+        submitting thread, so the single dispatcher's only per-batch work
+        is this stack."""
+        n = len(rows)
+        Q = params.query_len
+        packed = np.zeros((b, Q + 4), np.uint32)
+        packed[:, Q + 1] = 1  # limit >= 1 for padding rows
+        if n:
+            packed[:n] = rows if n > 1 else rows[0]
+        return packed
+
+    @staticmethod
     def _pack_batch(params: SearchParams, requests, b: Optional[int] = None):
         """(padded, q_len, options) tuples -> ONE packed (b, Q+4) u32 input
         array (each host->device array costs a sync round trip on tunneled
-        dev chips — see ops.search_kernel.pack_inputs_np)."""
+        dev chips — see ops.search_kernel.pack_inputs_np).  Warmup/
+        precompile path; serving uses _pack_rows."""
         n = len(requests)
         if b is None:
             b = next(x for x in BATCH_SIZES if x >= n)
@@ -621,7 +647,7 @@ class BatchingSearcher(Searcher):
         packed = np.zeros((b, Q + 4), np.uint32)
         packed[:, Q + 1] = 1  # limit >= 1 for padding rows
         if n:
-            packed[:n, :Q] = np.stack([r[0] for r in requests])
+            packed[:n, :Q] = np.stack([r[0][:Q] for r in requests])
             packed[:n, Q:] = np.array(
                 [
                     (q_len, o.max_results, o.min_score, o.min_score_pct)
@@ -692,6 +718,22 @@ class BatchingSearcher(Searcher):
             postings_scanned=int(out["postings_scanned"]),
             truncated=bool(out["truncated"]),
             max_per_hash=int(out.get("max_per_hash", 0)),
+        )
+        return results, stats
+
+    @staticmethod
+    def _materialize_row(row, out_len: int):
+        """Parse one packed output row (see ops.search_kernel.pack_outputs:
+        ids | scores | count | postings_scanned | truncated | max_per_hash)
+        in the caller's thread."""
+        n = int(row[2 * out_len])
+        results = [
+            SearchResult(id=int(row[i]), score=int(row[out_len + i])) for i in range(n)
+        ]
+        stats = SearchStats(
+            postings_scanned=int(row[2 * out_len + 1]),
+            truncated=bool(row[2 * out_len + 2]),
+            max_per_hash=int(row[2 * out_len + 3]),
         )
         return results, stats
 
