@@ -94,10 +94,9 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     from jax.experimental.pallas import tpu as pltpu
 
     # Lookups per grid step (2 pipelined block DMAs each).  Bigger G
-    # amortizes the fixed per-step cost (output tile read-modify-write +
-    # grid bookkeeping) over more lookups; must divide TILE.
-    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
-    TILE = 1024  # lookups per (8, 128) output tile
+    # amortizes the fixed per-step cost over more lookups; must divide TILE.
+    G = int(os.environ.get("AITPU_LOOKUP_G", "64"))
+    TILE = 1024
 
     L = queries.shape[0]
     hashes2d = hashes.reshape(-1, 128)
@@ -105,25 +104,19 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     # G lookups per grid step, two block operands each (the pipeline keeps
     # 2G block DMAs in flight per step, and skips a DMA when consecutive
     # steps map an operand to the same block — dead lookups point at block
-    # 0 so their runs collapse).  Outputs use the block-revisiting pattern:
-    # TILE consecutive lookups share one (8, 128) output tile, written via
-    # vectorized one-hot merges (scalar VMEM stores don't lower); every
-    # lane is owned by exactly one lookup.
-    #
-    # The per-lookup body is the kernel's cost floor (~185ns measured, DMA
-    # pattern insensitive), so it is minimized: lt and eq are encoded in ONE
-    # composite per element ((x<q) + (x==q)<<12; both sums <= 2048 so the
-    # fields never carry) giving ONE cross-lane reduction and ONE output
-    # merge per lookup instead of four and two; the (lo, cnt) decode happens
-    # in XLA outside the kernel where it is free elementwise work.
+    # 0 so their runs collapse).  Outputs are SMEM scalars: one scalar
+    # store per lookup, which measured ~15% cheaper than the former
+    # (8, 128) one-hot tile merges (probes/_probe_kernelvariants.py) —
+    # this kernel is DMA-issue-bound, so the body must stay minimal: lt
+    # and eq are encoded in ONE composite per element ((x<q) + (x==q)<<12;
+    # both sums <= 2048 so the fields never carry) giving ONE cross-lane
+    # reduction per lookup; the (lo, cnt) decode happens in XLA outside
+    # the kernel where it is free elementwise work.
     def kernel(blk0_ref, blk1_ref, q_ref, *refs):
         h_refs = refs[: 2 * G]
         comp_ref = refs[2 * G]
         i = pl.program_id(0)
         base = i * G
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        comp_tile = comp_ref[:, :]
         for k in range(G):
             j = base + k
             q = q_ref[j]
@@ -132,12 +125,7 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
             b1 = h_refs[2 * k + 1][:, :]
             v0 = (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
             v1 = (b1 < q).astype(jnp.int32) + ((b1 == q).astype(jnp.int32) << 12)
-            comp = jnp.sum(v0 + flag * v1)
-            row = (j % TILE) // 128
-            lane = j % 128
-            mask = jnp.logical_and(rows == row, lanes == lane)
-            comp_tile = jnp.where(mask, comp, comp_tile)
-        comp_ref[:, :] = comp_tile
+            comp_ref[j] = jnp.sum(v0 + flag * v1)
 
     def in_spec(k):
         half = k % 2
@@ -156,18 +144,19 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
             num_scalar_prefetch=3,  # blk0, blk1 (0 = second block disabled), queries
             grid=(Lc // G,),
             in_specs=[in_spec(k) for k in range(2 * G)],
-            out_specs=[
-                pl.BlockSpec((8, 128), lambda i, b0, b1, q: (i * G // TILE, 0)),
-            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
+            out_shape=(jax.ShapeDtypeStruct((Lc,), jnp.int32),),
             interpret=_use_interpret(),
         )(b0c, b1c, qc, *([hashes2d] * (2 * G)))[0]
 
-    comp, (blk0, blk1, queries) = _chunked_stream(call, (blk0, blk1, queries), L)
+    # 3 scalar arrays + the SMEM output must fit the ~1MB SMEM budget.
+    comp, (blk0, blk1, queries) = _chunked_stream(
+        call, (blk0, blk1, queries), L, max_stream=32768
+    )
     comp = comp.reshape(-1)[:L]
     lt = comp & jnp.int32(0xFFF)
     eq = comp >> 12
@@ -182,14 +171,15 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
     the pair kernel anyway).
 
     This is NOT the pair kernel with a dead second operand: the kernel's
-    cost floor is the pipeline's per-operand-per-step bookkeeping (~83ns,
+    cost floor is the pipeline's per-operand-per-step bookkeeping (~44-51ns,
     measured body-content- and DMA-pattern-insensitive — an empty body costs
     the same), so carrying a dead operand doubles the price.  One operand
-    per lookup runs ~2x faster."""
+    per lookup runs ~2x faster.  Outputs are SMEM scalars (one scalar store
+    per lookup; measured faster than one-hot tile merges at every G —
+    probes/_probe_kernelvariants.py)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
-    TILE = 1024
+    G = int(os.environ.get("AITPU_LOOKUP_G", "64"))
 
     L = queries.shape[0]
     hashes2d = hashes.reshape(-1, 128)
@@ -199,19 +189,13 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
         comp_ref = refs[G]
         i = pl.program_id(0)
         base = i * G
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        comp_tile = comp_ref[:, :]
         for k in range(G):
             j = base + k
             q = q_ref[j]
             b0 = h_refs[k][:, :]
-            comp = jnp.sum((b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12))
-            row = (j % TILE) // 128
-            lane = j % 128
-            mask = jnp.logical_and(rows == row, lanes == lane)
-            comp_tile = jnp.where(mask, comp, comp_tile)
-        comp_ref[:, :] = comp_tile
+            comp_ref[j] = jnp.sum(
+                (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
+            )
 
     def in_spec(idx):
         return pl.BlockSpec((ROWS, 128), lambda i, b, q, idx=idx: (b[i * G + idx], 0))
@@ -222,14 +206,12 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
             num_scalar_prefetch=2,  # blk, queries
             grid=(Lc // G,),
             in_specs=[in_spec(k) for k in range(G)],
-            out_specs=[
-                pl.BlockSpec((8, 128), lambda i, b, q: (i * G // TILE, 0)),
-            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
+            out_shape=(jax.ShapeDtypeStruct((Lc,), jnp.int32),),
             interpret=_use_interpret(),
         )(bc, qc, *([hashes2d] * G))[0]
 
@@ -271,8 +253,12 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array,
     and that hashes is padded to a multiple of BLOCK entries."""
     from jax.experimental.pallas import tpu as pltpu
 
-    G = int(os.environ.get("AITPU_LOOKUP_G", "32"))
-    TILE = 1024
+    # Pure VPU work with no DMA per lookup: a much larger G amortizes the
+    # per-step grid cost.  SMEM scalar outputs instead of one-hot tile
+    # merges took this kernel from ~58ns to ~5-10ns per lookup (measured,
+    # probes/_probe_kernelvariants.py: res_g128_smem 5ns vs res_g32_onehot
+    # 58ns) — the merge was most of the kernel.
+    G = int(os.environ.get("AITPU_RESIDENT_G", "128"))
     masked = lo_b is not None
 
     L = queries.shape[0]
@@ -285,9 +271,9 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array,
         h_ref, comp_ref = refs[n_scalars], refs[n_scalars + 1]
         i = pl.program_id(0)
         base = i * G
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        comp_tile = comp_ref[:, :]
+        if masked:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         for k in range(G):
             j = base + k
             q = scalar_refs[1][j]
@@ -298,12 +284,7 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array,
                 e = c * BLOCK + rows * 128 + lanes  # absolute entry index
                 in_r = jnp.logical_and(e >= scalar_refs[2][j], e < scalar_refs[3][j])
                 v = jnp.where(in_r, v, 0)
-            comp = jnp.sum(v)
-            row = (j % TILE) // 128
-            lane = j % 128
-            mask = jnp.logical_and(rows == row, lanes == lane)
-            comp_tile = jnp.where(mask, comp, comp_tile)
-        comp_ref[:, :] = comp_tile
+            comp_ref[j] = jnp.sum(v)
 
     def call(*chunks):
         Lc = chunks[1].shape[0]
@@ -311,14 +292,12 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array,
             num_scalar_prefetch=n_scalars,
             grid=(Lc // G,),
             in_specs=[pl.BlockSpec((r_all, 128), lambda i, *_s: (0, 0))],
-            out_specs=[
-                pl.BlockSpec((8, 128), lambda i, *_s: (i * G // TILE, 0)),
-            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((Lc // TILE * 8, 128), jnp.int32),),
+            out_shape=(jax.ShapeDtypeStruct((Lc,), jnp.int32),),
             interpret=_use_interpret(),
         )(*chunks, hashes2d)[0]
 
