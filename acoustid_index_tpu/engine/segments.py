@@ -104,10 +104,19 @@ def _pack_runs(arrays: Sequence[np.ndarray], cap: int, fill) -> np.ndarray:
 def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> Dict:
     """Pack segments (oldest -> newest) into one padded tier pytree.
 
-    Slot k of the tier is ordinal k; postings and docs arrays are packed
-    contiguously in ordinal order (merge kernels rely on contiguity).  The
-    slot dimension is bucketed: `slots` is the cap, the packed arrays use
-    the smallest bucket that fits.
+    The tier's postings are ONE merged hash-sorted run ("comb layout"):
+    all segments' (hash, docid) pairs sorted by hash, with a per-posting
+    tier-local ORDINAL column when the tier holds more than one segment.
+    The range phase then costs one lookup per query hash regardless of the
+    segment count — S-independent, unlike the reference's per-segment scans
+    (Index.zig:170-177) — and the scoring pipeline reads each posting's
+    ordinal from the `ord` column instead of deriving it from which
+    per-segment range produced it.  The stable sort keeps equal-hash
+    entries in segment (= ordinal) order.
+
+    `seg_len`/`docs_*` stay per-slot (slot k = ordinal k): supersession
+    ordinals, mention building, and merge bookkeeping rely on them; the sum
+    of seg_len is the tier's live posting count.
     """
     import jax.numpy as jnp
 
@@ -125,21 +134,36 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
     for k, s in enumerate(segments):
         seg_start[k] = pos
         seg_len[k] = s.num_items
-        # BLOCK-align each segment's run so postings blocks never straddle
-        # segments (the two-level lookup's invariant).
-        pos += -(-s.num_items // BLOCK) * BLOCK
+        pos += s.num_items
         docs_start[k] = dpos
         docs_len[k] = s.num_docs
         dpos += s.num_docs
 
-    cap = _bucket(max(pos, 1), max(min_cap, BLOCK))
+    # Pad the merged run to a BLOCK multiple (the two-level lookup reshapes
+    # to (…, 128) tiles); sentinel-filled tail.
+    cap = _bucket(max(-(-pos // BLOCK) * BLOCK, 1), max(min_cap, BLOCK))
     dcap = _bucket(max(dpos, 1), min_cap)
 
     hashes = np.full(cap, SENTINEL32, dtype=np.uint32)
     docids = np.full(cap, SENTINEL32, dtype=np.uint32)
-    for k, s in enumerate(segments):
-        hashes[seg_start[k] : seg_start[k] + s.num_items] = s.hashes
-        docids[seg_start[k] : seg_start[k] + s.num_items] = s.docids
+    ord_arr = None
+    if segments:
+        all_h = np.concatenate([s.hashes for s in segments])
+        all_d = np.concatenate([s.docids for s in segments])
+        if len(segments) > 1:
+            all_o = np.concatenate(
+                [np.full(s.num_items, k, np.int32) for k, s in enumerate(segments)]
+            )
+            order = np.argsort(all_h, kind="stable")  # ties stay ordinal-asc
+            all_h, all_d, all_o = all_h[order], all_d[order], all_o[order]
+        hashes[: all_h.shape[0]] = all_h
+        docids[: all_d.shape[0]] = all_d
+        if slots > 1:
+            ord_arr = np.zeros(cap, np.int32)
+            if len(segments) > 1:
+                ord_arr[: all_o.shape[0]] = all_o
+    elif slots > 1:
+        ord_arr = np.zeros(cap, np.int32)
     block_index = np.ascontiguousarray(hashes[::BLOCK])
     docs_ids = _pack_runs([s.docs_ids for s in segments], dcap, SENTINEL32)
     docs_alive = _pack_runs(
@@ -153,7 +177,7 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
     m_ord = np.full(mcap, -1, np.int32)
     m_ord[: mention_ord.shape[0]] = mention_ord
 
-    return {
+    out = {
         "hashes": jnp.asarray(hashes),
         "docids": jnp.asarray(docids),
         "block_index": jnp.asarray(block_index),
@@ -168,11 +192,15 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
         "mention_len": jnp.asarray(np.int32(mention_ids.shape[0])),
         "view_token": next(_VIEW_TOKENS),
     }
+    if ord_arr is not None:
+        out["ord"] = jnp.asarray(ord_arr)
+    return out
 
 
 SEARCH_TIER_FIELDS = (
     "hashes",
     "docids",
+    "ord",  # per-posting tier-local ordinal (absent on single-slot tiers)
     "block_index",
     "seg_start",
     "seg_len",
@@ -186,7 +214,7 @@ SEARCH_TIER_FIELDS = (
 def tier_view_for_search(tier: Dict) -> Dict:
     """The search kernel's input pytree: postings + the merged mention table
     (the per-segment docs arrays are merge-only)."""
-    return {k: tier[k] for k in SEARCH_TIER_FIELDS}
+    return {k: tier[k] for k in SEARCH_TIER_FIELDS if k in tier}
 
 
 @dataclass(frozen=True)

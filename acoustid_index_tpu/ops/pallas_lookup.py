@@ -22,12 +22,10 @@ sampled hash already equals the query.  Runs longer than the two-block
 window are truncated and flagged — the analogue of the reference's
 MAX_DOCS_PER_HASH / MAX_BLOCKS_PER_HASH scan bounds.
 
-Segments must be packed BLOCK-aligned (pack_tier pads each segment's run
-with sentinels) so one block never spans two segments; a per-lookup flag
-masks the second block's contribution when it would cross the segment's
-end.  The batch serving path flattens (batch, segment, hash) into one
-lookup stream so a single pallas_call serves the whole batch — pallas
-calls never sit under vmap.
+Tiers are packed as ONE merged hash-sorted run (the comb layout,
+engine/segments.py pack_tier), so the lookup stream is (batch, hash) —
+independent of the tier's segment count; a single pallas_call serves the
+whole batch — pallas calls never sit under vmap.
 """
 
 from __future__ import annotations
@@ -310,135 +308,71 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array,
 
 
 def tier_ranges_blocked(tier, queries, valid_q, cap_k):
-    """Two-level replacement for the per-tier range phase.
+    """Two-level replacement for the tier's range phase over its MERGED
+    sorted postings run.
 
-    `queries`/`valid_q` are (B, Q); returns lo/counts of shape (B, S, Q)
-    plus a truncation flag.  Requires tier["block_index"] and BLOCK-aligned
-    segment packing.
+    `queries`/`valid_q` are (B, Q); returns lo/counts of shape (B, Q) plus
+    a truncation flag.  Requires tier["block_index"].  One lookup per
+    query hash regardless of the tier's segment count — the comb layout
+    (engine/segments.py pack_tier) makes the range phase S-independent.
+
+    The whole top index is one sorted run, so its search is itself a
+    two-level lookup — a dense compare over a 1024x-sampled mini index
+    (VPU work, not per-element gathers) picks the top-index chunk, and a
+    Pallas block kernel counts entries <= q inside it (VMEM-resident when
+    the table fits, per-chunk DMA otherwise).  Every chunk before the
+    landing chunk is wholly <= q (its first entry is the mini sample), so
+    ub = chunk_lower_bound + equals.
     """
     B, Q = queries.shape
-    S = tier["seg_start"].shape[0]
     block_index = tier["block_index"]
     nblk = block_index.shape[0]
+    n_items = jnp.sum(tier["seg_len"]).astype(jnp.int32)
+    blk_last = jnp.maximum((n_items - 1) // BLOCK, 0)
 
-    # Stage 1: landing block per (batch, segment, hash) from the small top
-    # index, restricted to the segment's block range.  `blk` is the LAST
-    # block whose first sampled hash is <= q, so a run never extends past
-    # it; it can extend BEFORE it exactly when that first sample == q, in
-    # which case the window steps back one block.
-    blk_start = (tier["seg_start"] // BLOCK)[None, :, None]  # (1, S, 1)
-    blk_len = ((tier["seg_len"] + BLOCK - 1) // BLOCK)[None, :, None]
-    blk_last = jnp.maximum(blk_start, blk_start + blk_len - 1)
-    q3 = queries[:, None, :]  # (B, 1, Q)
+    # Stage 1: landing block per (batch, hash) from the small top index.
+    # `blk` is the LAST block whose first sampled hash is <= q, so a run
+    # never extends past it; it can extend BEFORE it exactly when that
+    # first sample == q, in which case the window steps back one block.
+    qf = queries.reshape(-1)
     nblk_pad = -(-nblk // BLOCK) * BLOCK
     resident_fits = nblk_pad * 4 <= _resident_max_bytes()
-    if S == 1 or resident_fits:
-        bi = block_index
-        if nblk_pad != nblk:
-            bi = jnp.concatenate(
-                [bi, jnp.full(nblk_pad - nblk, 0xFFFFFFFF, bi.dtype)]
-            )
-        mini = bi[::BLOCK]
-    if S == 1:
-        # Single-segment tier (the fully-merged steady state): the whole top
-        # index is one sorted run, so its search is itself a two-level
-        # lookup — a dense compare over a 1024x-sampled mini index (VPU
-        # work, not per-element gathers) picks the top-index chunk, and a
-        # Pallas block kernel counts entries <= q inside it (VMEM-resident
-        # when the table fits, per-chunk DMA otherwise).  Every chunk
-        # before the landing chunk is wholly <= q (its first entry is the
-        # mini sample), so ub = chunk_lower_bound + equals.  The XLA
-        # bounded search costs ~18 dependent per-element gathers per lookup
-        # at this table size — measured ~4x the whole Pallas scan.
-        qf = queries.reshape(-1)
-        ub2 = jnp.sum((mini[None, :] <= qf[:, None]).astype(jnp.int32), axis=1)
-        c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
-        if resident_fits:
-            lt_c, cnt_c = block_lookup_resident(bi, c, qf)
-            ub = (c * BLOCK + lt_c + cnt_c).reshape(B, S, Q)
-        else:
-            lo_c, cnt_c = block_lookup(bi, c, qf)
-            ub = (lo_c + cnt_c).reshape(B, S, Q)
-        eq_top = cnt_c.reshape(B, S, Q)  # equal top entries in landing chunk
-    elif resident_fits:
-        # Multi-segment tier: the top index is a concatenation of per-
-        # segment sorted runs, so the same two-level scheme applies with
-        # RANGE masking — the mini compare restricted to each segment's
-        # chunk interval picks the landing chunk (the chunks whose first
-        # in-segment entry <= q form a prefix, by in-segment sortedness),
-        # and the masked resident kernel counts only in-segment entries of
-        # that chunk.  This replaces the XLA per-element binary search that
-        # made S>1 snapshots ~24x slower than S=1 (measured 101.8 vs 4.2
-        # ms/batch at S=8 before this path).
-        qf = jnp.broadcast_to(q3, (B, S, Q)).reshape(-1)
-        j0 = (blk_start // BLOCK).reshape(-1)  # (S,)
-        jlast = (blk_last // BLOCK).reshape(-1)
-        first_in_seg = bi[jnp.clip(blk_start.reshape(-1), 0, bi.shape[0] - 1)]  # (S,)
-        n_mini = mini.shape[0]
-        jr = jnp.arange(n_mini, dtype=jnp.int32)
-        # (S, n_mini) chunk-interval masks, broadcast over the flat stream.
-        seg_mask = jnp.logical_and(jr[None, :] > j0[:, None], jr[None, :] <= jlast[:, None])
-        le = (mini[None, :] <= qf[:, None]).reshape(B, S, Q, n_mini)
-        m2 = jnp.sum(
-            jnp.logical_and(le, seg_mask[None, :, None, :]).astype(jnp.int32), axis=-1
-        ).reshape(-1)
-        m = (first_in_seg[None, :, None] <= q3).astype(jnp.int32).reshape(B, S, Q).reshape(-1) + m2
-        c = jnp.clip(j0[None, :, None] + m.reshape(B, S, Q) - 1, 0, n_mini - 1).reshape(-1)
-        lo_b = jnp.broadcast_to(blk_start, (B, S, Q)).reshape(-1)
-        hi_b = jnp.broadcast_to(blk_start + blk_len, (B, S, Q)).reshape(-1)
-        lt_m, eq_m = block_lookup_resident(
-            bi, c.astype(jnp.int32), qf, lo_b.astype(jnp.int32), hi_b.astype(jnp.int32)
-        )
-        ub_flat = jnp.where(
-            m >= 1, jnp.maximum(lo_b, c * BLOCK) + lt_m + eq_m, lo_b
-        )
-        ub = ub_flat.reshape(B, S, Q)
-        eq_top = jnp.where(m >= 1, eq_m, 0).reshape(B, S, Q)
+    bi = block_index
+    if nblk_pad != nblk:
+        bi = jnp.concatenate([bi, jnp.full(nblk_pad - nblk, 0xFFFFFFFF, bi.dtype)])
+    mini = bi[::BLOCK]
+    ub2 = jnp.sum((mini[None, :] <= qf[:, None]).astype(jnp.int32), axis=1)
+    c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
+    if resident_fits:
+        lt_c, cnt_c = block_lookup_resident(bi, c, qf)
+        ub = (c * BLOCK + lt_c + cnt_c).reshape(B, Q)
     else:
-        ub = upper_bound(block_index, q3, blk_start, blk_len)  # (B, S, Q)
-        eq_top = None
-    blk = jnp.clip(jnp.clip(ub - 1, blk_start, blk_last), 0, nblk - 1).astype(jnp.int32)
+        lo_c, cnt_c = block_lookup(bi, c, qf)
+        ub = (lo_c + cnt_c).reshape(B, Q)
+    eq_top = cnt_c.reshape(B, Q)  # equal top entries in landing chunk
+    blk = jnp.clip(jnp.clip(ub - 1, 0, blk_last), 0, nblk - 1).astype(jnp.int32)
 
-    if eq_top is not None:
-        # Gather-free window decisions: equal top-index entries occupy
-        # [ub - eq, ub), so block_index[blk] == q  <=>  eq_top > 0 (the last
-        # equal is at ub-1, which the landing chunk contains and counts),
-        # block_index[b1] == q holds exactly in the step-back case, and
-        # block_index[b0-...]: the run reaches below the window iff a second
-        # equal exists (eq_top >= 2), flagged conservatively when the last
-        # equal sits at a chunk boundary and the chunk below is invisible.
-        step_back = jnp.logical_and(eq_top > 0, blk > blk_start)
-        b0 = jnp.where(step_back, blk - 1, blk)
-        b1 = jnp.minimum(b0 + 1, nblk - 1)
-        enabled = jnp.logical_and(step_back, jnp.logical_and(b1 <= blk_last, b1 != b0))
-        spill = jnp.logical_and(
-            jnp.logical_and(step_back, b0 > blk_start),
-            jnp.logical_or(eq_top >= 2, (ub - 1) % BLOCK == 0),
-        )
-    else:
-        landing_sample = block_index[blk]
-        step_back = jnp.logical_and(landing_sample == q3, blk > blk_start)
-        b0 = jnp.where(step_back, blk - 1, blk)
-        b1 = jnp.minimum(b0 + 1, nblk - 1)
-        # The second block only contributes when the run actually reaches
-        # it: a run extends into b0+1 iff that block's FIRST posting — which
-        # is exactly its top-index sample — equals the query.  Gating on
-        # that makes the second fetch free for the overwhelming majority of
-        # lookups (short runs), halving the DMA stream.  It must also stay
-        # inside the segment's block range; blk1 == 0 disables it (a real
-        # second block is >= 1).
-        enabled = jnp.logical_and(
-            block_index[b1] == q3, jnp.logical_and(b1 <= blk_last, b1 != b0)
-        )
-        # A run that still starts before the window is cut short: flag it.
-        window_sample = block_index[b0]
-        spill = jnp.logical_and(window_sample == q3, b0 > blk_start)
+    # Gather-free window decisions: equal top-index entries occupy
+    # [ub - eq, ub), so block_index[blk] == q  <=>  eq_top > 0 (the last
+    # equal is at ub-1, which the landing chunk contains and counts),
+    # block_index[b1] == q holds exactly in the step-back case, and
+    # block_index[b0-...]: the run reaches below the window iff a second
+    # equal exists (eq_top >= 2), flagged conservatively when the last
+    # equal sits at a chunk boundary and the chunk below is invisible.
+    step_back = jnp.logical_and(eq_top > 0, blk > 0)
+    b0 = jnp.where(step_back, blk - 1, blk)
+    b1 = jnp.minimum(b0 + 1, nblk - 1)
+    enabled = jnp.logical_and(step_back, jnp.logical_and(b1 <= blk_last, b1 != b0))
+    spill = jnp.logical_and(
+        jnp.logical_and(step_back, b0 > 0),
+        jnp.logical_or(eq_top >= 2, (ub - 1) % BLOCK == 0),
+    )
 
-    # Padded query lanes and empty slots don't need their blocks: point them
-    # at block 0 so they form constant runs — the pipeline skips the DMA
-    # when consecutive grid steps map to the same block, making dead
-    # lookups nearly free (their counts are masked to 0 below anyway).
-    live = jnp.logical_and(valid_q[:, None, :], (tier["seg_len"] > 0)[None, :, None])
+    # Padded query lanes don't need their blocks: point them at block 0 so
+    # they form constant runs — the pipeline skips the DMA when consecutive
+    # grid steps map to the same block, making dead lookups nearly free
+    # (their counts are masked to 0 below anyway).
+    live = jnp.logical_and(valid_q, n_items > 0)
     b0 = jnp.where(live, b0, 0)
     b1 = jnp.where(jnp.logical_and(live, enabled), b1, 0)
 
@@ -450,7 +384,7 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     # the whole stream single-block, then re-run just the straddlers — a
     # tiny compacted stream of W_CAP slots — through the pair kernel and
     # scatter the exact (lo, cnt) over the landing-block-truncated ones.
-    lookups = jnp.broadcast_to(q3, (B, S, Q)).reshape(-1)
+    lookups = qf
     L = lookups.shape[0]
     window = jnp.logical_and(live, jnp.logical_or(step_back, enabled)).reshape(-1)
     blk_main = jnp.where(live, blk, 0).reshape(-1)
@@ -482,15 +416,13 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     # flagged below like every other scan-bound truncation.
     w_over = n_w > w_cap
 
-    lo = lo_flat.reshape(B, S, Q)
-    cnt = cnt_flat.reshape(B, S, Q)
+    lo = lo_flat.reshape(B, Q)
+    cnt = cnt_flat.reshape(B, Q)
 
-    # Clamp into the owning segment's [start, end).
-    start3 = tier["seg_start"][None, :, None]
-    end3 = start3 + tier["seg_len"][None, :, None]
-    lo = jnp.clip(lo, start3, end3)
-    cnt = jnp.minimum(cnt, end3 - lo)
-    cnt = jnp.where(valid_q[:, None, :], cnt, 0)
+    # Clamp into the live run [0, n_items).
+    lo = jnp.clip(lo, 0, n_items)
+    cnt = jnp.minimum(cnt, n_items - lo)
+    cnt = jnp.where(valid_q, cnt, 0)
     kcap = jnp.int32(min(cap_k, 2 * BLOCK))
     cnt = jnp.minimum(cnt, kcap)
     # Truncation: the window cap clipped a long run, or the run started

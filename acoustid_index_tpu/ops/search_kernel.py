@@ -73,45 +73,54 @@ def _shift_left(x: jax.Array, fill) -> jax.Array:
     return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
 
 
-def _tier_ranges(tier, query, valid_q, cap_k):
-    """(lo, hi, counts) for every (segment, query hash) pair of one tier."""
-    start2 = tier["seg_start"][:, None]
-    len2 = tier["seg_len"][:, None]
-    lo = lower_bound(tier["hashes"], query[None, :], start2, len2)
-    hi = upper_bound(tier["hashes"], query[None, :], start2, len2)
+def _tier_n_items(tier):
+    """Live postings in the tier's merged run (= sum of per-slot counts)."""
+    return jnp.sum(tier["seg_len"]).astype(jnp.int32)
+
+
+def _tier_ranges(tier, queries, valid_q, cap_k):
+    """(lo, counts, trunc) of each query hash's run in the tier's MERGED
+    sorted postings ((B, Q) shapes): one bounded binary search per hash,
+    independent of the segment count."""
+    n_items = _tier_n_items(tier)
+    lo = lower_bound(tier["hashes"], queries, jnp.int32(0), n_items)
+    hi = upper_bound(tier["hashes"], queries, jnp.int32(0), n_items)
     counts = (hi - lo).astype(jnp.int32)
     counts = jnp.where(valid_q, counts, 0)
     return lo, jnp.minimum(counts, cap_k), jnp.any(counts > cap_k)
 
 
 def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts, use_mem: bool = True):
-    """Stage 2 for ONE query: ragged->dense gather from per-tier (S, Q)
-    ranges.  Returns per-posting (docid, global ordinal, invalid flag) and
-    the number of postings gathered.
+    """Stage 2 for ONE query: ragged->dense gather from per-tier (Q,) run
+    ranges over each tier's merged postings.  Returns per-posting (docid,
+    global ordinal, invalid flag) and the number of postings gathered.
+    Ordinals come from the tiers' per-posting `ord` column (constant 0 for
+    single-slot tiers, which then skip the gather entirely).
 
     `use_mem=False` compiles a variant with no memory-tier gather, selected
     at runtime by the caller's lax.cond when the memory tier is empty (the
     fully-merged steady state)."""
     Q, P = p.query_len, p.postings_budget
-    S_F = f_lo.shape[0]
-    S = S_F + m_lo.shape[0]
+    S_F = file_tier["seg_start"].shape[0]
+    S = S_F + mem_tier["seg_start"].shape[0]
 
-    # Flat index j // Q is the global segment ordinal.
+    # Flat index j in [0, 2Q): file-tier hash j < Q, memory-tier hash j - Q.
     flat_counts = jnp.concatenate([f_counts.reshape(-1), m_counts.reshape(-1)])
     flat_lo = jnp.concatenate([f_lo.reshape(-1), m_lo.reshape(-1)])
+    n_flat = 2 * Q
     cum = jnp.cumsum(flat_counts, dtype=jnp.int32)
     grand_total = cum[-1]
     total = jnp.minimum(grand_total, P)
 
     pos = jnp.arange(P, dtype=jnp.int32)
-    if S * Q <= 1024:
+    if n_flat <= 1024:
         # Dense compare-sum + one-hot MXU extraction: TPU XLA lowers
         # per-element gathers to ~0.1us/element scalar loads; comparing
         # against the whole (tiny) cum array on the VPU and extracting the
-        # per-j values with (P, S*Q) one-hot matmuls is ~10x faster.
+        # per-j values with (P, 2Q) one-hot matmuls is ~10x faster.
         j = jnp.sum((cum[None, :] <= pos[:, None]).astype(jnp.int32), axis=1)
-        j = jnp.clip(j, 0, S * Q - 1)
-        onehot = (jnp.arange(S * Q, dtype=jnp.int32)[None, :] == j[:, None]).astype(jnp.float32)
+        j = jnp.clip(j, 0, n_flat - 1)
+        onehot = (jnp.arange(n_flat, dtype=jnp.int32)[None, :] == j[:, None]).astype(jnp.float32)
         cum_before = (cum - flat_counts).astype(jnp.float32)  # < 2^24: exact in f32
         # precision=HIGHEST pins true-f32 dots: extraction exactness relies
         # on exact f32 integer arithmetic, which a bf16 DEFAULT matmul
@@ -128,63 +137,67 @@ def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo,
         # Hand-rolled bounded search: jnp.searchsorted's TPU lowering
         # measured ~6x slower than direct fori-loop gathers at this shape.
         j = upper_bound(
-            cum.astype(jnp.uint32), pos.astype(jnp.uint32), jnp.int32(0), jnp.int32(S * Q),
-            steps=steps_for(S * Q),
+            cum.astype(jnp.uint32), pos.astype(jnp.uint32), jnp.int32(0), jnp.int32(n_flat),
+            steps=steps_for(n_flat),
         ).astype(jnp.int32)
-        j = jnp.clip(j, 0, S * Q - 1)
+        j = jnp.clip(j, 0, n_flat - 1)
         within = pos - (cum[j] - flat_counts[j])
         src = flat_lo[j] + within
     p_valid = pos < total
 
-    f_vals = file_tier["docids"][jnp.clip(src, 0, file_tier["docids"].shape[0] - 1)]
+    src_f = jnp.clip(src, 0, file_tier["docids"].shape[0] - 1)
+    f_vals = file_tier["docids"][src_f]
+    f_ord = file_tier["ord"][src_f] if "ord" in file_tier else jnp.int32(0)
     if use_mem:
-        is_mem = j >= S_F * Q
-        m_vals = mem_tier["docids"][jnp.clip(src, 0, mem_tier["docids"].shape[0] - 1)]
+        is_mem = j >= Q
+        src_m = jnp.clip(src, 0, mem_tier["docids"].shape[0] - 1)
+        m_vals = mem_tier["docids"][src_m]
+        m_ord = (mem_tier["ord"][src_m] if "ord" in mem_tier else jnp.int32(0)) + jnp.int32(S_F)
         vals = jnp.where(is_mem, m_vals, f_vals)
+        ords = jnp.where(is_mem, m_ord, f_ord)
     else:
         vals = f_vals
+        ords = jnp.broadcast_to(f_ord, f_vals.shape)
     d = jnp.where(p_valid, vals, SENTINEL)
-    o = jnp.where(p_valid, j // Q, S).astype(jnp.int32)
+    o = jnp.where(p_valid, ords, S).astype(jnp.int32)
     inv = jnp.logical_not(p_valid).astype(jnp.int32)
     return d, o, inv, total, grand_total > P
 
 
 def _tier_ranges_dense(tier, queries, valid_q, cap_k):
     """(lo, counts, trunc) for a SMALL tier via one dense compare + MXU
-    matmul for the whole (B, Q) batch: XLA lowers per-element binary-search
-    gathers to ~0.1us/element scalar loads, so a 10-step search over B*Q*2
-    bounds costs more than comparing every query against the entire table
-    and reducing per segment on the MXU."""
+    matmul for the whole (B, Q) batch ((B, Q) shapes over the tier's merged
+    run): XLA lowers per-element binary-search gathers to ~0.1us/element
+    scalar loads, so a bounded search over B*Q*2 bounds costs more than
+    comparing every query against the entire table and reducing on the
+    MXU."""
     cap = tier["hashes"].shape[0]
-    S = tier["seg_start"].shape[0]
     B, Q = queries.shape
+    n_items = _tier_n_items(tier)
     pos = jnp.arange(cap, dtype=jnp.int32)
-    seg_end = tier["seg_start"] + tier["seg_len"]
-    in_seg = jnp.logical_and(
-        pos[None, :] >= tier["seg_start"][:, None], pos[None, :] < seg_end[:, None]
-    ).astype(jnp.float32)  # (S, cap)
+    live = (pos < n_items).astype(jnp.float32)[:, None]  # (cap, 1)
 
     qf = queries.reshape(-1)  # (B*Q,)
     lt = (tier["hashes"][None, :] < qf[:, None]).astype(jnp.float32)
     le = (tier["hashes"][None, :] <= qf[:, None]).astype(jnp.float32)
     # Counts <= cap <= 4096 are exact in f32.
     hi_p = jax.lax.Precision.HIGHEST  # exact f32 dots (see _plan_and_gather)
-    lt_c = jnp.dot(lt, in_seg.T, preferred_element_type=jnp.float32, precision=hi_p)
-    le_c = jnp.dot(le, in_seg.T, preferred_element_type=jnp.float32, precision=hi_p)
-    # (B*Q, S) -> (B, S, Q)
-    cnt = (le_c - lt_c).astype(jnp.int32).reshape(B, Q, S).transpose(0, 2, 1)
-    lo = lt_c.astype(jnp.int32).reshape(B, Q, S).transpose(0, 2, 1) + tier["seg_start"][None, :, None]
-    cnt = jnp.where(valid_q[:, None, :], cnt, 0)
+    lt_c = jnp.dot(lt, live, preferred_element_type=jnp.float32, precision=hi_p)[:, 0]
+    le_c = jnp.dot(le, live, preferred_element_type=jnp.float32, precision=hi_p)[:, 0]
+    cnt = (le_c - lt_c).astype(jnp.int32).reshape(B, Q)
+    lo = lt_c.astype(jnp.int32).reshape(B, Q)
+    cnt = jnp.where(valid_q, cnt, 0)
     trunc = jnp.any(cnt > cap_k)
     return lo, jnp.minimum(cnt, cap_k), trunc
 
 
 def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
-    """Stage 1 for a (B, Q) query batch: per-tier (B, S, Q) ranges.  Uses
-    the Pallas two-level lookup when the tier carries a block index (one
-    flattened lookup stream serves the whole batch), a dense compare +
-    MXU reduction for small tiers (e.g. the memory tier between
-    checkpoints), and the XLA bounded binary search in between."""
+    """Stage 1 for a (B, Q) query batch: per-tier (B, Q) run ranges over
+    each tier's MERGED sorted postings.  Uses the Pallas two-level lookup
+    when the tier carries a block index (one flattened lookup stream serves
+    the whole batch), a dense compare + MXU reduction for small tiers
+    (e.g. the memory tier between checkpoints), and the XLA bounded binary
+    search in between."""
     from .pallas_lookup import BLOCK, tier_ranges_blocked
 
     Q, K = p.query_len, p.per_hash_cap
@@ -208,10 +221,7 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
             # 16GB operands and OOM HBM).
             outs.append(_tier_ranges_dense(tier, queries, valid_q, K))
         else:
-            lo, cnt, trunc = jax.vmap(
-                lambda q, v: _tier_ranges(tier, q, v[None, :], K), in_axes=(0, 0)
-            )(queries, valid_q)
-            outs.append((lo, cnt, jnp.any(trunc)))
+            outs.append(_tier_ranges(tier, queries, valid_q, K))
     (f_lo, f_cnt, f_tr), (m_lo, m_cnt, m_tr) = outs
     return f_lo, f_cnt, m_lo, m_cnt, jnp.logical_or(f_tr, m_tr)
 
@@ -471,13 +481,11 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         p_small, totals_rough = small_budget(p, f_cnt, m_cnt, B)
         small = jnp.max(totals_rough) <= P_SMALL
 
-    # Per-query max of per-hash scan work (postings for one hash summed
-    # across segments, both tiers): the reference's scanned-docs-per-hash
-    # histogram (FileSegment.zig:177-178, metrics.zig:96-101) — the
-    # load-skew signal.  One cheap reduction over counts already computed.
-    max_per_hash = jnp.max(
-        f_cnt.sum(axis=1) + m_cnt.sum(axis=1), axis=1
-    ).astype(jnp.int32)
+    # Per-query max of per-hash scan work (postings for one hash across
+    # both tiers): the reference's scanned-docs-per-hash histogram
+    # (FileSegment.zig:177-178, metrics.zig:96-101) — the load-skew
+    # signal.  One cheap reduction over counts already computed.
+    max_per_hash = jnp.max(f_cnt + m_cnt, axis=1).astype(jnp.int32)
 
     def sort_path(_):
         """Stages 3-7 via the sorting pipeline at the FULL budget (any

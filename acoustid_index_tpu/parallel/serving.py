@@ -22,7 +22,12 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence
 
 from ..engine.searcher import BatchingSearcher
-from ..engine.segments import FILE_SLOTS, MEMORY_SLOTS, SEARCH_TIER_FIELDS, slot_bucket
+from ..engine.segments import (
+    FILE_SLOTS,
+    MEMORY_SLOTS,
+    slot_bucket,
+    tier_view_for_search,
+)
 from .sharded import AXIS, _pack_tier_sharded, make_mesh, sharded_search_batch_packed
 
 
@@ -68,8 +73,8 @@ class ShardedBatchingSearcher(BatchingSearcher):
         limits = packed_in[:, Q + 1].astype(np.int32)
         min_scores = packed_in[:, Q + 2].astype(np.int32)
         pcts = packed_in[:, Q + 3].astype(np.int32)
-        fview = {k: snapshot.file_view[k] for k in SEARCH_TIER_FIELDS}
-        mview = {k: snapshot.mem_view[k] for k in SEARCH_TIER_FIELDS}
+        fview = tier_view_for_search(snapshot.file_view)
+        mview = tier_view_for_search(snapshot.mem_view)
         return sharded_search_batch_packed(
             params, self.mesh, fview, mview, qs, lens, limits, min_scores, pcts
         )

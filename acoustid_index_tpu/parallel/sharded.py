@@ -122,12 +122,16 @@ def _pack_tier_sharded(
         mention.append((ids_k[last], ords_k[last]))
     mcap = _bucket(max((m[0].shape[0] for m in mention), default=1), min_cap)
 
-    # BLOCK-align each segment's per-shard run so the two-level lookup's
-    # blocks never straddle segments.
-    def aligned(chunks):
-        return sum(-(-a.shape[0] // BLOCK) * BLOCK for a in chunks)
+    # Each shard packs its hash range as ONE merged sorted run with a
+    # per-posting ordinal column (the comb layout, engine/segments.py
+    # pack_tier): the range phase is then S-independent per shard.
+    def total(chunks):
+        return sum(a.shape[0] for a in chunks)
 
-    cap = _bucket(max((aligned(chunks) for chunks in per_shard_items), default=1), max(min_cap, BLOCK))
+    cap = _bucket(
+        max((-(-total(chunks) // BLOCK) * BLOCK for chunks in per_shard_items), default=1),
+        max(min_cap, BLOCK),
+    )
 
     S = slots
     out = {
@@ -144,6 +148,8 @@ def _pack_tier_sharded(
         "mention_len": np.zeros((n_shards,), np.int32),
         "block_index": np.full((n_shards, cap // BLOCK), 0xFFFFFFFF, np.uint32),
     }
+    if S > 1:
+        out["ord"] = np.zeros((n_shards, cap), np.int32)
     for k, (mi, mo) in enumerate(mention):
         out["mention_ids"][k, : mi.shape[0]] = mi
         out["mention_ord"][k, : mo.shape[0]] = mo
@@ -153,9 +159,24 @@ def _pack_tier_sharded(
         for s_idx, a in enumerate(per_shard_items[k]):
             out["seg_start"][k, s_idx] = pos
             out["seg_len"][k, s_idx] = a.shape[0]
-            out["hashes"][k, pos : pos + a.shape[0]] = a
-            out["docids"][k, pos : pos + a.shape[0]] = per_shard_ids[k][s_idx]
-            pos += -(-a.shape[0] // BLOCK) * BLOCK
+            pos += a.shape[0]
+        chunks_h = [a for a in per_shard_items[k] if a.shape[0]]
+        if chunks_h:
+            all_h = np.concatenate(per_shard_items[k])
+            all_d = np.concatenate(per_shard_ids[k])
+            all_o = np.concatenate(
+                [
+                    np.full(a.shape[0], s_idx, np.int32)
+                    for s_idx, a in enumerate(per_shard_items[k])
+                ]
+            )
+            if len(chunks_h) > 1:
+                order = np.argsort(all_h, kind="stable")  # ties stay ordinal-asc
+                all_h, all_d, all_o = all_h[order], all_d[order], all_o[order]
+            out["hashes"][k, : all_h.shape[0]] = all_h
+            out["docids"][k, : all_d.shape[0]] = all_d
+            if S > 1:
+                out["ord"][k, : all_o.shape[0]] = all_o
         dpos = 0
         for s_idx, a in enumerate(per_shard_docs[k]):
             out["docs_start"][k, s_idx] = dpos
@@ -290,7 +311,7 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         # Per-hash scan skew: a hash lives on exactly ONE hash-range shard
         # (others count 0 for it), so pmax of the local per-query maxima is
         # the exact global max-per-hash.
-        local_mph = jnp.max(f_cnt.sum(axis=1) + m_cnt.sum(axis=1), axis=1).astype(jnp.int32)
+        local_mph = jnp.max(f_cnt + m_cnt, axis=1).astype(jnp.int32)
         out["max_per_hash"] = jax.lax.pmax(local_mph, AXIS)
         return out
 

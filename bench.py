@@ -356,6 +356,7 @@ def e2e_bench(jax):
 
             counts = [0] * E2E_THREADS
             misses = [0] * E2E_THREADS
+            lats = [[] for _ in range(E2E_THREADS)]
             stop = time.time() + E2E_SECONDS
 
             def worker(k):
@@ -364,7 +365,9 @@ def e2e_bench(jax):
                     t = int(r.integers(1, E2E_DOCS + 1))
                     hs = doc_hashes(np.array([t], np.uint32), HASHES_PER_DOC)[0]
                     q = np.unique(np.concatenate([hs[:20], r.integers(0, 2**32, 100, dtype=np.uint32)]))
+                    t_req = time.perf_counter()
                     res, _ = idx.search(q.tolist(), options)
+                    lats[k].append(time.perf_counter() - t_req)
                     if not res or res[0].id != t:
                         misses[k] += 1
                     counts[k] += 1
@@ -377,6 +380,7 @@ def e2e_bench(jax):
                 t.join()
             wall = time.time() - t0
             total = sum(counts)
+            all_lat = np.array([x for xs in lats for x in xs]) * 1000.0
             closed = {
                 "e2e_qps": total / wall,
                 "e2e_docs": E2E_DOCS,
@@ -384,12 +388,66 @@ def e2e_bench(jax):
                 "e2e_queries": total,
                 "e2e_miss_rate": sum(misses) / max(total, 1),
                 "e2e_threads": E2E_THREADS,
+                # Per-REQUEST latency through the real serving path (incl.
+                # the dev tunnel's ~24ms RTT, absent on attached chips).
+                "e2e_p50_ms": float(np.percentile(all_lat, 50)) if all_lat.size else None,
+                "e2e_p99_ms": float(np.percentile(all_lat, 99)) if all_lat.size else None,
             }
             log(f"closed-loop {closed['e2e_qps']:.0f} qps; measuring open-loop pipeline")
             open_loop = e2e_open_loop(idx, options, rng)
-            return {**closed, **open_loop}
+            log(
+                f"open-loop {open_loop['e2e_pipeline_qps']:.0f} qps; "
+                "measuring mixed read/write phase"
+            )
+            rw = e2e_read_write(idx, options, rng)
+            return {**closed, **open_loop, **rw}
         finally:
             idx.close()
+
+
+def e2e_read_write(idx, options, rng):
+    """Open-loop search load WITH a concurrent writer: exposes the S>1
+    serving state (memory-tier segments between checkpoints) — the
+    realistic steady state of a continuously-written index."""
+    import threading
+
+    from acoustid_index_tpu.engine.model import Insert
+
+    stop_rw = threading.Event()
+    writes = [0]
+
+    def writer():
+        # Cycle a FIXED 6400-doc id window (re-inserting = updates with
+        # supersession).  A closed id set keeps the memory-tier capacity
+        # buckets cycling through a small closed shape set, so the warm
+        # cache + persistent XLA cache cover every program the window
+        # produces instead of compiling a fresh shape every half-octave of
+        # unbounded growth.
+        base = E2E_DOCS + 1
+        off = 0
+        while not stop_rw.is_set():
+            ids = np.arange(base + off, base + off + 200, dtype=np.uint32)
+            hs = doc_hashes(ids, HASHES_PER_DOC)
+            idx.update([Insert(id=int(i), hashes=h.tolist()) for i, h in zip(ids, hs)])
+            writes[0] += int(ids.shape[0])
+            off = (off + 200) % 6400
+            stop_rw.wait(0.02)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+    try:
+        out = e2e_open_loop(idx, options, rng)
+    finally:
+        stop_rw.set()
+        wt.join(timeout=30)
+    snap = idx.acquire_reader()
+    return {
+        "e2e_rw_qps": out["e2e_pipeline_qps"],
+        "e2e_rw_queries": out["e2e_pipeline_queries"],
+        "e2e_rw_miss_rate": out["e2e_pipeline_miss_rate"],
+        "e2e_rw_writes": writes[0],
+        "e2e_rw_segments": snap.num_segments(),
+    }
 
 
 OPEN_LOOP_INFLIGHT = int(os.environ.get("AITPU_BENCH_INFLIGHT", 2048))
@@ -485,6 +543,35 @@ def main():
     e = e2e_bench(jax) if E2E_DOCS else {}
     log(f"e2e bench: {e.get('e2e_qps', 0):.0f} qps")
 
+    # 134M-fingerprint scale point (the BASELINE.md north-star metric), in
+    # the same driver-captured line.  Freed tables from the earlier phases
+    # make room for its ~9.7GB corpus; failures degrade to absent fields
+    # rather than losing the whole bench.
+    m134 = {}
+    if os.environ.get("AITPU_BENCH_134M", "1") == "1":
+        import gc
+
+        gc.collect()
+        try:
+            import bench_100m
+
+            r = bench_100m.run(jax, jnp)
+            m134 = {
+                "qps_134M": r["value"],
+                "p50_batch_ms_134M": r["p50_batch_ms"],
+                "p99_batch_ms_134M": r["p99_batch_ms"],
+                "per_query_p50_ms_134M": r["per_query_p50_ms"],
+                "n_docs_134M": r["n_docs"],
+                "n_postings_134M": r["n_postings"],
+                "hit_rate_134M": r["self_retrieval_hit_rate"],
+                "build_s_134M": r["build_s"],
+                "hbm_gb_134M": r["hbm_gb"],
+            }
+            log(f"134M bench: {r['value']:.0f} qps")
+        except Exception as exc:  # noqa: BLE001 — report, don't lose the line
+            m134 = {"qps_134M_error": f"{type(exc).__name__}: {exc}"[:200]}
+            log(f"134M bench failed: {exc}")
+
     print(
         json.dumps(
             {
@@ -509,7 +596,8 @@ def main():
                 "parity_gate": "ok",
                 "parity_gate_s": round(parity_s, 1),
                 **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
-                "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number)",
+                **m134,
+                "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state)",
                 "device": str(dev),
                 "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
             }

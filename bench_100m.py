@@ -75,9 +75,10 @@ def doc_hashes_np(doc_ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def run(jax, jnp) -> dict:
+    """Build the 134M-doc corpus and measure; returns the result fields.
+    Callable from bench.py (one driver-captured JSON line for both scale
+    points) or standalone via main()."""
 
     from acoustid_index_tpu.ops.search_kernel import (
         SearchParams,
@@ -201,30 +202,33 @@ def main():
         jax, params, file_tier, mem_tier, pack_inputs_np(qs, lens, limits, min_scores, pcts), BATCH
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "search_qps_134M_fp_1chip",
-                "value": round(qps, 1),
-                "unit": "qps",
-                "vs_baseline": None,
-                "value_note": "device-resident inputs (attached-chip number); tunneled_pipeline_qps includes the dev tunnel's per-transfer round trips",
-                "tunneled_pipeline_qps": round(tunneled_qps, 1),
-                "batch": BATCH,
-                "p50_batch_ms": round(float(np.percentile(lat_ms, 50)), 2),
-                "p99_batch_ms": round(float(np.percentile(lat_ms, 99)), 2),
-                "per_query_p50_ms": round(float(np.percentile(lat_ms, 50)) / BATCH, 3),
-                "build_s": round(build_s, 1),
-                "compile_s": round(compile_s, 1),
-                "self_retrieval_hit_rate": hit_rate,
-                "n_docs": N_DOCS,
-                "n_postings": n_postings,
-                "hbm_gb": round((n_postings * 8 + N_DOCS * 8) / 2**30, 1),
-                "device": str(dev),
-                "note": "synthetic corpus with collision structure: 25% of postings in multi-doc hash runs, periodic 64-posting hot hashes, 134M-entry mention table",
-            }
-        )
-    )
+    return {
+        "metric": "search_qps_134M_fp_1chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": None,
+        "value_note": "device-resident inputs (attached-chip number); tunneled_pipeline_qps includes the dev tunnel's per-transfer round trips",
+        "tunneled_pipeline_qps": round(tunneled_qps, 1),
+        "batch": BATCH,
+        "p50_batch_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "p99_batch_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "per_query_p50_ms": round(float(np.percentile(lat_ms, 50)) / BATCH, 3),
+        "build_s": round(build_s, 1),
+        "compile_s": round(compile_s, 1),
+        "self_retrieval_hit_rate": hit_rate,
+        "n_docs": N_DOCS,
+        "n_postings": n_postings,
+        "hbm_gb": round((n_postings * 8 + N_DOCS * 8) / 2**30, 1),
+        "device": str(dev),
+        "note": "synthetic corpus with collision structure: 25% of postings in multi-doc hash runs, periodic 64-posting hot hashes, 134M-entry mention table",
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print(json.dumps(run(jax, jnp)))
 
 
 if __name__ == "__main__":

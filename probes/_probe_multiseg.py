@@ -53,9 +53,19 @@ def main():
     for s, (hs, ds, _ids) in enumerate(seg_runs):
         seg_start[s] = pos
         seg_len[s] = hs.shape[0]
-        hashes[pos : pos + hs.shape[0]] = hs
-        docids[pos : pos + hs.shape[0]] = ds
-        pos += -(-hs.shape[0] // BLOCK) * BLOCK
+        pos += hs.shape[0]
+    # Comb layout: one merged sorted run + per-posting ordinal column.
+    all_h = np.concatenate([r[0] for r in seg_runs])
+    all_d = np.concatenate([r[1] for r in seg_runs])
+    all_o = np.concatenate(
+        [np.full(r[0].shape[0], s, np.int32) for s, r in enumerate(seg_runs)]
+    )
+    order = np.argsort(all_h, kind="stable")
+    all_h, all_d, all_o = all_h[order], all_d[order], all_o[order]
+    hashes[: all_h.shape[0]] = all_h
+    docids[: all_d.shape[0]] = all_d
+    ord_arr = np.zeros(hashes.shape[0], np.int32)
+    ord_arr[: all_o.shape[0]] = all_o
 
     all_ids = np.sort(np.concatenate([r[2] for r in seg_runs]))
     mcap = 1024
@@ -71,6 +81,7 @@ def main():
     file_tier = {
         "hashes": jnp.asarray(hashes),
         "docids": jnp.asarray(docids),
+        "ord": jnp.asarray(ord_arr),
         "block_index": jnp.asarray(hashes[::BLOCK]),
         "seg_start": jnp.asarray(seg_start),
         "seg_len": jnp.asarray(seg_len),

@@ -33,7 +33,7 @@ def run_blocked(tier, queries, cap_k=2048):
     lo, cnt, trunc = tier_ranges_blocked(
         tier, jnp.asarray(q)[None, :], jnp.asarray(np.arange(64) < len(queries))[None, :], cap_k
     )
-    return int(np.asarray(lo)[0, 0, 0]), int(np.asarray(cnt)[0, 0, 0]), bool(trunc)
+    return int(np.asarray(lo)[0, 0]), int(np.asarray(cnt)[0, 0]), bool(trunc)
 
 
 def reference_bounds(tier, n, queries):
@@ -132,8 +132,8 @@ def test_window_cap_overflow_flags_truncation(monkeypatch):
         jnp.asarray(np.arange(64) < len(straddlers))[None, :],
         2048,
     )
-    lo = np.asarray(lo)[0, 0]
-    cnt = np.asarray(cnt)[0, 0]
+    lo = np.asarray(lo)[0]
+    cnt = np.asarray(cnt)[0]
     assert bool(trunc)  # overflow surfaced
     want_lo, want_cnt = reference_bounds(tier, n_live, straddlers)
     h = np.asarray(tier["hashes"])
@@ -147,34 +147,29 @@ def test_window_cap_overflow_flags_truncation(monkeypatch):
 
 
 def make_tier_multi(runs):
-    """BLOCK-aligned multi-segment tier (like pack_tier) from sorted runs."""
-    total = sum(-(-r.shape[0] // BLOCK) * BLOCK for r in runs)
+    """Comb-layout multi-segment tier (like pack_tier): ONE merged sorted
+    run; seg_len keeps per-segment counts (sum = live entries)."""
+    merged = np.sort(np.concatenate(runs))
+    total = merged.shape[0]
     cap = BLOCK
     while cap < total:
         cap *= 2
     hashes = np.full(cap, 0xFFFFFFFF, np.uint32)
-    seg_start = np.zeros(len(runs), np.int32)
-    seg_len = np.zeros(len(runs), np.int32)
-    pos = 0
-    for s, r in enumerate(runs):
-        seg_start[s] = pos
-        seg_len[s] = r.shape[0]
-        hashes[pos : pos + r.shape[0]] = r
-        pos += -(-r.shape[0] // BLOCK) * BLOCK
+    hashes[:total] = merged
+    seg_len = np.asarray([r.shape[0] for r in runs], np.int32)
     h = jnp.asarray(hashes)
     return {
         "hashes": h,
         "block_index": h[::BLOCK],
-        "seg_start": jnp.asarray(seg_start),
+        "seg_start": jnp.zeros(len(runs), jnp.int32),
         "seg_len": jnp.asarray(seg_len),
     }
 
 
-def test_multisegment_masked_path_exact():
-    """The masked-resident multi-segment top-index path: segment 1 starts
-    mid-chunk of the top index, carries equal-hash runs straddling block
-    boundaries, and every (segment, query) range must match bisect on the
-    segment's own slice."""
+def test_multisegment_merged_run_exact():
+    """Multi-segment tiers pack as ONE merged run (comb layout): every
+    query's (lo, cnt) over the combined table must match bisect on the
+    merged live array, including straddling equal-hash runs."""
     rng = np.random.default_rng(11)
     n0, n1 = 600_000, 700_000
     h0 = np.sort(rng.integers(0, 2**20, n0, dtype=np.uint32))
@@ -187,9 +182,8 @@ def test_multisegment_masked_path_exact():
         straddle_vals.append(int(v))
     h1 = np.sort(h1)
     tier = make_tier_multi([h0, h1])
-    seg_start = np.asarray(tier["seg_start"])
-    seg_len = np.asarray(tier["seg_len"])
-    hall = np.asarray(tier["hashes"])
+    n_live = n0 + n1
+    merged = np.asarray(tier["hashes"])[:n_live]
 
     queries = (
         straddle_vals
@@ -204,16 +198,14 @@ def test_multisegment_masked_path_exact():
         jnp.asarray(np.arange(64) < len(queries))[None, :],
         2048,
     )
-    lo = np.asarray(lo)[0]  # (S, Q)
+    lo = np.asarray(lo)[0]  # (Q,)
     cnt = np.asarray(cnt)[0]
     from bisect import bisect_left, bisect_right
 
-    for s in range(2):
-        seg = hall[seg_start[s] : seg_start[s] + seg_len[s]]
-        for qi, hv in enumerate(queries):
-            want_lo = seg_start[s] + bisect_left(seg, hv)
-            want_cnt = bisect_right(seg, hv) - bisect_left(seg, hv)
-            assert cnt[s, qi] == want_cnt, (s, qi, hv, cnt[s, qi], want_cnt)
-            if want_cnt:
-                assert lo[s, qi] == want_lo, (s, qi, hv, lo[s, qi], want_lo)
+    for qi, hv in enumerate(queries):
+        want_lo = bisect_left(merged, hv)
+        want_cnt = bisect_right(merged, hv) - want_lo
+        assert cnt[qi] == want_cnt, (qi, hv, cnt[qi], want_cnt)
+        if want_cnt:
+            assert lo[qi] == want_lo, (qi, hv, lo[qi], want_lo)
     assert not bool(trunc)
