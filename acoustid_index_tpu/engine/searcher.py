@@ -75,16 +75,42 @@ class Searcher:
     def __init__(self):
         self._fns: Dict[SearchParams, object] = {}
         self._lock = threading.Lock()
+        # Sticky HIGH-WATER device shapes per tier: [postings cap, docs cap,
+        # mention cap, slots].  Capacities and slot counts only ever grow,
+        # so a write-heavy serving state converges to ONE shape set instead
+        # of producing a fresh shape — and a fresh compile — every
+        # half-octave of growth and every slot-bucket change.  Small
+        # indexes still start small (the floors begin at the minimums).
+        self._hwm = {
+            "file": [1024, 1024, 1024, 0],
+            "mem": [1024, 1024, 1024, 0],
+        }
+
+    def _pack_sticky(self, segments, slots_cap: int, key: str) -> Dict:
+        from .segments import pack_tier
+
+        hwm = self._hwm[key]
+        view = pack_tier(
+            segments,
+            slots_cap,
+            min_slots=hwm[3],
+            min_caps=(hwm[0], hwm[1], hwm[2]),
+        )
+        hwm[0] = max(hwm[0], int(view["hashes"].shape[0]))
+        hwm[1] = max(hwm[1], int(view["docs_ids"].shape[0]))
+        hwm[2] = max(hwm[2], int(view["mention_ids"].shape[0]))
+        hwm[3] = max(hwm[3], int(view["seg_start"].shape[0]))
+        return view
 
     def pack_file_tier(self, segments) -> Dict:
-        from .segments import FILE_SLOTS, pack_tier
+        from .segments import FILE_SLOTS
 
-        return pack_tier(segments, FILE_SLOTS)
+        return self._pack_sticky(segments, FILE_SLOTS, "file")
 
     def pack_mem_tier(self, segments) -> Dict:
-        from .segments import MEMORY_SLOTS, pack_tier
+        from .segments import MEMORY_SLOTS
 
-        return pack_tier(segments, MEMORY_SLOTS)
+        return self._pack_sticky(segments, MEMORY_SLOTS, "mem")
 
     def _fn(self, params: SearchParams):
         with self._lock:

@@ -101,7 +101,13 @@ def _pack_runs(arrays: Sequence[np.ndarray], cap: int, fill) -> np.ndarray:
     return out
 
 
-def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> Dict:
+def pack_tier(
+    segments: Sequence[Segment],
+    slots: int,
+    min_cap: int = 1024,
+    min_slots: int = 0,
+    min_caps: Optional[Tuple[int, int, int]] = None,
+) -> Dict:
     """Pack segments (oldest -> newest) into one padded tier pytree.
 
     The tier's postings are ONE merged hash-sorted run ("comb layout"):
@@ -117,12 +123,18 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
     `seg_len`/`docs_*` stay per-slot (slot k = ordinal k): supersession
     ordinals, mention building, and merge bookkeeping rely on them; the sum
     of seg_len is the tier's live posting count.
+
+    `min_slots`/`min_caps` (postings, docs, mention minimum capacities) let
+    the searcher pin shapes at a high-water mark so a write-heavy serving
+    state stops producing fresh shapes — and fresh compiles — every
+    half-octave of growth.
     """
     import jax.numpy as jnp
 
     if len(segments) > slots:
         raise ValueError(f"too many segments for tier: {len(segments)} > {slots}")
-    slots = slot_bucket(len(segments), slots)
+    slots = slot_bucket(max(len(segments), min(min_slots, slots)), slots)
+    cmin, dmin, mmin = min_caps or (min_cap, min_cap, min_cap)
 
     from ..ops.pallas_lookup import BLOCK
 
@@ -141,8 +153,8 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
 
     # Pad the merged run to a BLOCK multiple (the two-level lookup reshapes
     # to (…, 128) tiles); sentinel-filled tail.
-    cap = _bucket(max(-(-pos // BLOCK) * BLOCK, 1), max(min_cap, BLOCK))
-    dcap = _bucket(max(dpos, 1), min_cap)
+    cap = _bucket(max(-(-pos // BLOCK) * BLOCK, 1), max(cmin, BLOCK))
+    dcap = _bucket(max(dpos, 1), dmin)
 
     hashes = np.full(cap, SENTINEL32, dtype=np.uint32)
     docids = np.full(cap, SENTINEL32, dtype=np.uint32)
@@ -171,7 +183,7 @@ def pack_tier(segments: Sequence[Segment], slots: int, min_cap: int = 1024) -> D
     )
 
     mention_ids, mention_ord = build_mention_table(segments)
-    mcap = _bucket(max(mention_ids.shape[0], 1), min_cap)
+    mcap = _bucket(max(mention_ids.shape[0], 1), mmin)
     m_ids = np.full(mcap, SENTINEL32, np.uint32)
     m_ids[: mention_ids.shape[0]] = mention_ids
     m_ord = np.full(mcap, -1, np.int32)

@@ -307,6 +307,55 @@ def block_lookup_resident(hashes: jax.Array, blk: jax.Array, queries: jax.Array,
     return lt, eq
 
 
+def tier_ranges_resident(tier, queries, valid_q, cap_k):
+    """Range phase for a MID-SIZE tier whose whole merged postings run fits
+    VMEM (4096 < cap <= _resident_max_bytes()/4 entries — the serving
+    memory tier between checkpoints): a dense mini compare over a
+    1024x-sampled mini index picks each query's landing chunk, and TWO
+    resident lookups per query (chunks c-1 and c) bound its run exactly —
+    pure VPU work at ~6-10ns per resident lookup, no per-lookup DMA.
+
+    Equal-hash runs longer than the two-chunk window truncate with the
+    flag set, like the blocked path's scan bounds."""
+    B, Q = queries.shape
+    hp = tier["hashes"]  # cap is a BLOCK multiple, sentinel padded
+    n_items = jnp.sum(tier["seg_len"]).astype(jnp.int32)
+    nchunks = hp.shape[0] // BLOCK
+    qf = queries.reshape(-1)
+
+    mini = hp[::BLOCK]  # first entry of each chunk
+    ub2 = jnp.sum((mini[None, :] <= qf[:, None]).astype(jnp.int32), axis=1)
+    c = jnp.clip(ub2 - 1, 0, nchunks - 1)
+    c0 = jnp.maximum(c - 1, 0)
+
+    # One resident stream of 2L lookups: chunk below + landing chunk.
+    cc = jnp.concatenate([c0, c]).astype(jnp.int32)
+    qq = jnp.concatenate([qf, qf])
+    lt2, eq2 = block_lookup_resident(hp, cc, qq)
+    L = qf.shape[0]
+    lt_b, eq_b = lt2[:L], eq2[:L]  # chunk c-1
+    lt_c, eq_c = lt2[L:], eq2[L:]  # chunk c
+
+    has_below = jnp.logical_and(eq_b > 0, c > 0)  # run starts before chunk c
+    lo = jnp.where(has_below, c0 * BLOCK + lt_b, c * BLOCK + lt_c)
+    cnt = jnp.where(has_below, eq_b + eq_c, eq_c)
+    # Run may extend below the window: chunk c-1's FIRST entry equals q
+    # (and a chunk below exists) — conservative truncation flag.
+    spill = jnp.logical_and(has_below, jnp.logical_and(c0 > 0, mini[c0] == qf))
+
+    live = jnp.logical_and(valid_q.reshape(-1), n_items > 0)
+    lo = jnp.clip(lo, 0, n_items)
+    cnt = jnp.minimum(cnt, n_items - lo)
+    cnt = jnp.where(live, cnt, 0)
+    kcap = jnp.int32(min(cap_k, 2 * BLOCK))
+    cnt = jnp.minimum(cnt, kcap)
+    truncated = jnp.logical_or(
+        jnp.any(jnp.logical_and(cnt >= kcap, live)),
+        jnp.any(jnp.logical_and(spill, live)),
+    )
+    return lo.reshape(B, Q), cnt.reshape(B, Q), truncated
+
+
 def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     """Two-level replacement for the tier's range phase over its MERGED
     sorted postings run.

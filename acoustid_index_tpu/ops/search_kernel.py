@@ -198,7 +198,12 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
     the whole batch), a dense compare + MXU reduction for small tiers
     (e.g. the memory tier between checkpoints), and the XLA bounded binary
     search in between."""
-    from .pallas_lookup import BLOCK, tier_ranges_blocked
+    from .pallas_lookup import (
+        BLOCK,
+        _resident_max_bytes,
+        tier_ranges_blocked,
+        tier_ranges_resident,
+    )
 
     Q, K = p.query_len, p.per_hash_cap
     B = queries.shape[0]
@@ -206,20 +211,24 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
 
     outs = []
     for tier in (file_tier, mem_tier):
-        # Static-shape decision: the Pallas path pays one block DMA per
-        # lookup, which only wins when the table is big enough that random
-        # HBM gathers hurt; small tiers compare densely.
-        if "block_index" in tier and tier["hashes"].shape[0] >= 64 * BLOCK:
-            outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
-        elif (
-            tier["hashes"].shape[0] <= 4096
-            and B * Q * tier["hashes"].shape[0] <= (1 << 28)
-        ):
+        cap = tier["hashes"].shape[0]
+        # Static-shape decision (smallest-cost path that fits):
+        #   * tiny tiers compare densely on the MXU;
+        #   * tiers whose whole run fits VMEM use the resident two-chunk
+        #     scan (~6-10ns/lookup, no per-lookup DMA) — the serving
+        #     memory tier between checkpoints lives here;
+        #   * big tiers pay one pipelined block DMA per lookup;
+        #   * anything else (huge cap, no block index) binary-searches.
+        if cap <= 4096 and B * Q * cap <= (1 << 28):
             # The dense compare materializes (B*Q, cap) f32 operands; the
             # volume bound keeps that under ~1GB (a 4096-bucket batch of
             # 256 queries against a 4096-entry tier would otherwise build
             # 16GB operands and OOM HBM).
             outs.append(_tier_ranges_dense(tier, queries, valid_q, K))
+        elif cap % BLOCK == 0 and cap * 4 <= _resident_max_bytes():
+            outs.append(tier_ranges_resident(tier, queries, valid_q, K))
+        elif "block_index" in tier and cap >= 64 * BLOCK:
+            outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
         else:
             outs.append(_tier_ranges(tier, queries, valid_q, K))
     (f_lo, f_cnt, f_tr), (m_lo, m_cnt, m_tr) = outs

@@ -42,13 +42,24 @@ class ShardedBatchingSearcher(BatchingSearcher):
 
     # ---- view packing (called by the engine on tier changes) ----
 
-    def _pack(self, segments: Sequence, slots: int) -> Dict:
+    def _pack(self, segments: Sequence, slots: int, key: str) -> Dict:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # Sticky high-water shapes, like the single-chip searcher (see
+        # Searcher._pack_sticky): write-heavy serving converges to one
+        # shape set per tier.
+        hwm = self._hwm[key]
         view_np = _pack_tier_sharded(
-            segments, self.n_shards, slot_bucket(len(segments), slots)
+            segments,
+            self.n_shards,
+            max(slot_bucket(len(segments), slots), min(hwm[3], slots)),
+            min_caps=(hwm[0], hwm[1], hwm[2]),
         )
+        hwm[0] = max(hwm[0], int(view_np["hashes"].shape[1]))
+        hwm[1] = max(hwm[1], int(view_np["docs_ids"].shape[1]))
+        hwm[2] = max(hwm[2], int(view_np["mention_ids"].shape[1]))
+        hwm[3] = max(hwm[3], int(view_np["seg_start"].shape[1]))
         sharding = NamedSharding(self.mesh, P(AXIS))
         view = {k: jax.device_put(v, sharding) for k, v in view_np.items()}
         from ..engine.segments import _VIEW_TOKENS
@@ -57,10 +68,10 @@ class ShardedBatchingSearcher(BatchingSearcher):
         return view
 
     def pack_file_tier(self, segments) -> Dict:
-        return self._pack(segments, FILE_SLOTS)
+        return self._pack(segments, FILE_SLOTS, "file")
 
     def pack_mem_tier(self, segments) -> Dict:
-        return self._pack(segments, MEMORY_SLOTS)
+        return self._pack(segments, MEMORY_SLOTS, "mem")
 
     # ---- batch execution ----
 

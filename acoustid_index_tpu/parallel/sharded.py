@@ -76,7 +76,11 @@ class ShardedView:
 
 
 def _pack_tier_sharded(
-    segments: Sequence[Segment], n_shards: int, slots: int, min_cap: int = 1024
+    segments: Sequence[Segment],
+    n_shards: int,
+    slots: int,
+    min_cap: int = 1024,
+    min_caps: Optional[Tuple[int, int, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Partition each segment's postings by hash range and docs by docid
     range; pack per shard (slot k = ordinal k, same as pack_tier)."""
@@ -100,8 +104,9 @@ def _pack_tier_sharded(
             per_shard_docs[k].append(seg.docs_ids[dcuts[k] : dcuts[k + 1]])
             per_shard_alive[k].append(seg.docs_alive[dcuts[k] : dcuts[k + 1]].astype(np.int32))
 
-    cap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_items), default=1), min_cap)
-    dcap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_docs), default=1), min_cap)
+    cmin, dmin, mmin = min_caps or (min_cap, min_cap, min_cap)
+    cap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_items), default=1), cmin)
+    dcap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_docs), default=1), dmin)
 
     # Per-shard merged mention table (docid -> newest tier-local ordinal).
     mention = []
@@ -120,7 +125,7 @@ def _pack_tier_sharded(
         if ids_k.shape[0]:
             last[:-1] = ids_k[1:] != ids_k[:-1]
         mention.append((ids_k[last], ords_k[last]))
-    mcap = _bucket(max((m[0].shape[0] for m in mention), default=1), min_cap)
+    mcap = _bucket(max((m[0].shape[0] for m in mention), default=1), mmin)
 
     # Each shard packs its hash range as ONE merged sorted run with a
     # per-posting ordinal column (the comb layout, engine/segments.py
@@ -130,7 +135,7 @@ def _pack_tier_sharded(
 
     cap = _bucket(
         max((-(-total(chunks) // BLOCK) * BLOCK for chunks in per_shard_items), default=1),
-        max(min_cap, BLOCK),
+        max(cmin, BLOCK),
     )
 
     S = slots

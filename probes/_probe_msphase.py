@@ -1,0 +1,196 @@
+"""Phase attribution for the S=8 multi-segment serving state (fori-slope),
+plus the same corpus merged into S=1 for the ratio VERDICT #4 tracks.
+
+Phases are cumulative: ranges -> +gather -> +score -> +newest -> full.
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from acoustid_index_tpu.engine.searcher import _params_for
+from acoustid_index_tpu.ops.pallas_lookup import BLOCK
+from acoustid_index_tpu.ops import search_kernel as sk
+
+B = 256
+SEGS = 8
+PER_SEG_DOCS = 60_000
+H_PER_DOC = 8
+
+
+def build(s_mode):
+    rng = np.random.default_rng(3)
+    seg_runs = []
+    base_id = 1
+    for s in range(SEGS):
+        ids = np.arange(base_id, base_id + PER_SEG_DOCS, dtype=np.uint32)
+        base_id += PER_SEG_DOCS
+        h = (
+            ids[:, None] * np.uint32(2654435761)
+            + np.arange(H_PER_DOC, dtype=np.uint32)[None, :] * np.uint32(0x27D4EB2F)
+            + np.uint32(s * 7919)
+        ).astype(np.uint32)
+        hs = h.reshape(-1)
+        ds = np.broadcast_to(ids[:, None], (PER_SEG_DOCS, H_PER_DOC)).reshape(-1)
+        order = np.argsort(hs, kind="stable")
+        seg_runs.append((hs[order], ds[order], ids))
+
+    all_h = np.concatenate([r[0] for r in seg_runs])
+    all_d = np.concatenate([r[1] for r in seg_runs])
+    all_o = np.concatenate(
+        [np.full(r[0].shape[0], s, np.int32) for s, r in enumerate(seg_runs)]
+    )
+    order = np.argsort(all_h, kind="stable")
+    all_h, all_d, all_o = all_h[order], all_d[order], all_o[order]
+    cap = BLOCK
+    while cap < all_h.shape[0]:
+        cap *= 2
+    hashes = np.full(cap, 0xFFFFFFFF, np.uint32)
+    docids = np.full(cap, 0xFFFFFFFF, np.uint32)
+    ords = np.zeros(cap, np.int32)
+    hashes[: all_h.shape[0]] = all_h
+    docids[: all_d.shape[0]] = all_d
+    ords[: all_o.shape[0]] = all_o
+
+    all_ids = np.sort(np.concatenate([r[2] for r in seg_runs]))
+    mcap = 1024
+    while mcap < all_ids.shape[0]:
+        mcap *= 2
+    m_ids = np.full(mcap, 0xFFFFFFFF, np.uint32)
+    m_ids[: all_ids.shape[0]] = all_ids
+    m_ord = np.zeros(mcap, np.int32)
+    if s_mode == 8:
+        for s, (_h, _d, ids) in enumerate(seg_runs):
+            m_ord[np.searchsorted(all_ids, ids)] = s
+
+    S = s_mode
+    n = all_h.shape[0]
+    file_tier = {
+        "hashes": jnp.asarray(hashes),
+        "docids": jnp.asarray(docids),
+        "block_index": jnp.asarray(hashes[::BLOCK]),
+        "seg_start": jnp.zeros(S, jnp.int32),
+        "seg_len": jnp.zeros(S, jnp.int32).at[0].set(n)
+        if S == 1
+        else jnp.asarray(np.full(S, n // S, np.int32)),
+        "mention_ids": jnp.asarray(m_ids),
+        "mention_ord": jnp.asarray(m_ord),
+        "mention_len": jnp.int32(all_ids.shape[0]),
+        "docs_len": jnp.asarray(np.full(S, PER_SEG_DOCS, np.int32))
+        if S == 8
+        else jnp.asarray(np.asarray([all_ids.shape[0]], np.int32)),
+    }
+    if S > 1:
+        file_tier["ord"] = jnp.asarray(ords)
+    mem_tier = {
+        "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "block_index": jnp.full(1, 0xFFFFFFFF, jnp.uint32),
+        "seg_start": jnp.zeros(1, jnp.int32),
+        "seg_len": jnp.zeros(1, jnp.int32),
+        "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+        "mention_ord": jnp.full(1024, -1, jnp.int32),
+        "mention_len": jnp.int32(0),
+        "docs_len": jnp.zeros(1, jnp.int32),
+    }
+
+    params = _params_for(128)
+    targets = np.array([7 + s * PER_SEG_DOCS for s in range(SEGS)] * (B // SEGS), np.uint32)
+    qs = np.zeros((B, 128), np.uint32)
+    lens = np.zeros(B, np.int32)
+    for b, t in enumerate(targets):
+        s = (int(t) - 1) // PER_SEG_DOCS
+        h = (
+            np.uint32(t) * np.uint32(2654435761)
+            + np.arange(H_PER_DOC, dtype=np.uint32) * np.uint32(0x27D4EB2F)
+            + np.uint32(s * 7919)
+        ).astype(np.uint32)
+        q = np.unique(h)
+        qs[b, : q.shape[0]] = q
+        lens[b] = q.shape[0]
+    pin = np.zeros((B, 128 + 4), np.uint32)
+    pin[:, :128] = qs
+    pin[:, 128] = lens
+    pin[:, 129] = 10
+    pin[:, 130] = 2
+    pin[:, 131] = 10
+    return params, file_tier, mem_tier, pin
+
+
+def run_phases(tag, params, file_tier, mem_tier, pin):
+    p = params
+    Q = p.query_len
+
+    def make(phase):
+        def one(ft, mt, pin2):
+            queries = pin2[:, :Q]
+            q_lens = pin2[:, Q].astype(jnp.int32)
+            limits = pin2[:, Q + 1].astype(jnp.int32)
+            min_scores = pin2[:, Q + 2].astype(jnp.int32)
+            pcts = pin2[:, Q + 3].astype(jnp.int32)
+            if phase == "full":
+                out = sk._search_batch_impl(p, ft, mt, queries, q_lens, limits, min_scores, pcts)
+                return jnp.sum(out["ids"].astype(jnp.uint32))
+            f_lo, f_cnt, m_lo, m_cnt, trunc = sk._batch_ranges(p, ft, mt, queries, q_lens)
+            if phase == "ranges":
+                return (
+                    jnp.sum(f_lo.astype(jnp.uint32))
+                    + jnp.sum(f_cnt.astype(jnp.uint32))
+                    + trunc.astype(jnp.uint32)
+                )
+            import dataclasses
+
+            p_small = dataclasses.replace(p, postings_budget=sk.P_SMALL)
+
+            def score_one(f_lo1, f_cnt1, m_lo1, m_cnt1, min_score):
+                d, o, inv, total, over = sk._plan_and_gather(
+                    p_small, ft, mt, f_lo1, f_cnt1, m_lo1, m_cnt1, use_mem=False
+                )
+                if phase == "gather":
+                    return jnp.sum(d.astype(jnp.uint32)) + jnp.sum(o.astype(jnp.uint32))
+                win, score, cand = sk._score_matrix(p_small, d, o, inv, min_score)
+                if phase == "score":
+                    return jnp.sum(score.astype(jnp.uint32)) + jnp.sum(d.astype(jnp.uint32))
+                return (
+                    jnp.sum(score.astype(jnp.uint32)),
+                    d,
+                    cand,
+                )
+
+            if phase in ("gather", "score"):
+                return jnp.sum(jax.vmap(score_one)(f_lo, f_cnt, m_lo, m_cnt, min_scores))
+            # newest: score + supersession lookups
+            accs, d, cand = jax.vmap(score_one)(f_lo, f_cnt, m_lo, m_cnt, min_scores)
+            newest = sk._batch_newest(ft, mt, d.reshape(-1), cand.reshape(-1))
+            return jnp.sum(accs) + jnp.sum(newest.astype(jnp.uint32))
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def runK(K, ft, mt, pin0):
+            def body(i, acc):
+                pin2 = pin0.at[:, :Q].set(pin0[:, :Q] + (acc & jnp.uint32(1)))
+                return acc + one(ft, mt, pin2)
+
+            return jax.lax.fori_loop(0, K, body, jnp.uint32(0))
+
+        return runK
+
+    pj = jax.device_put(jnp.asarray(pin))
+    for phase in ("ranges", "gather", "score", "newest", "full"):
+        runK = make(phase)
+        times = {}
+        for K in (2, 12):
+            int(jax.device_get(runK(K, file_tier, mem_tier, pj)))
+            t0 = time.time()
+            int(jax.device_get(runK(K, file_tier, mem_tier, pj)))
+            times[K] = time.time() - t0
+        slope = (times[12] - times[2]) / 10
+        print(f"{tag} {phase}: {slope*1000:.2f} ms/batch", flush=True)
+
+
+for s_mode in (8, 1):
+    args = build(s_mode)
+    run_phases(f"S={s_mode}", *args)
