@@ -487,20 +487,58 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     return lo, cnt, truncated
 
 
+def _pad_to_block(a):
+    n = a.shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    if n_pad != n:
+        a = jnp.concatenate([a, jnp.full(n_pad - n, 0xFFFFFFFF, a.dtype)])
+    return a
+
+
 def mention_lookup_blocked(tier, cand_flat, valid=None):
-    """Newest tier-local mention ordinal per candidate via the same
-    two-level pattern: top index over mention_ids[::BLOCK] (XLA, tiny),
-    one pipelined block DMA per candidate (skipped for runs of dead
-    candidates), and a single ord gather.  Mention ids are unique per doc,
-    so a key never spans blocks and the in-block equality count is 0 or 1."""
+    """Newest tier-local mention ordinal per candidate.
+
+    Mention ids are UNIQUE per doc (a key never spans blocks; the in-block
+    equality count is 0 or 1), so the lookup has no straddle cases:
+
+      * table fits VMEM (<= _resident_max_bytes()): dense mini compare
+        picks each candidate's chunk, ONE resident scan bounds it — pure
+        VPU work, no per-candidate DMA at all;
+      * bigger tables: the sampled top index (ids[::BLOCK]) is made
+        VMEM-resident and searched the same two-level way (mini compare +
+        resident chunk scan — an XLA binary search here cost ~10 dependent
+        per-element gathers per candidate, measured ~20ms for a 64k
+        candidate stream), then one pipelined block DMA per candidate
+        scans the landing block.
+    """
     ids = tier["mention_ids"]
-    top = ids[::BLOCK]
-    nblk = top.shape[0]
-    blk = jnp.clip(
-        upper_bound(top, cand_flat, jnp.int32(0), jnp.int32(nblk), steps=steps_for(nblk)).astype(jnp.int32) - 1,
-        0,
-        nblk - 1,
-    )
+    cap = ids.shape[0]
+    if cap % BLOCK == 0 and cap * 4 <= _resident_max_bytes():
+        mini = ids[::BLOCK]
+        ub2 = jnp.sum((mini[None, :] <= cand_flat[:, None]).astype(jnp.int32), axis=1)
+        c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
+        lt, eq = block_lookup_resident(ids, c, cand_flat)
+        lo = c * BLOCK + lt
+        lo_c = jnp.clip(lo, 0, cap - 1)
+        found = jnp.logical_and(eq > 0, lo < tier["mention_len"])
+        return jnp.where(found, tier["mention_ord"][lo_c], -1)
+
+    top = _pad_to_block(ids[::BLOCK])
+    nblk = ids.shape[0] // BLOCK
+    if top.shape[0] * 4 <= _resident_max_bytes():
+        # Two-level top-index search, VMEM-resident: ub = #top entries <=
+        # cand (keys unique, so entries before the landing chunk are all
+        # strictly below the first chunk entry <= cand).
+        mini = top[::BLOCK]
+        ub2 = jnp.sum((mini[None, :] <= cand_flat[:, None]).astype(jnp.int32), axis=1)
+        c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
+        lt_c, eq_c = block_lookup_resident(top, c, cand_flat)
+        ub = c * BLOCK + lt_c + eq_c
+    else:
+        ub = upper_bound(
+            top, cand_flat, jnp.int32(0), jnp.int32(nblk), steps=steps_for(nblk)
+        ).astype(jnp.int32)
+    blk = jnp.clip(ub - 1, 0, nblk - 1).astype(jnp.int32)
     if valid is not None:
         # Dead candidates point at block 0 so consecutive grid steps share
         # the block and the pipeline skips their DMA.

@@ -238,10 +238,27 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
 def tier_newest_ord(tier, cand_ids):
     """Tier-local newest mention ordinal per candidate (-1 = not mentioned):
     ONE binary search over the tier's merged mention table."""
-    lo = lower_bound(tier["mention_ids"], cand_ids, jnp.int32(0), tier["mention_len"])
-    lo_c = jnp.clip(lo, 0, tier["mention_ids"].shape[0] - 1)
+    cap = tier["mention_ids"].shape[0]
+    lo = lower_bound(
+        tier["mention_ids"], cand_ids, jnp.int32(0), tier["mention_len"],
+        steps=steps_for(cap),
+    )
+    lo_c = jnp.clip(lo, 0, cap - 1)
     found = jnp.logical_and(lo < tier["mention_len"], tier["mention_ids"][lo_c] == cand_ids)
     return jnp.where(found, tier["mention_ord"][lo_c], -1)
+
+
+def tier_newest_ord_dense(tier, cand_ids):
+    """Dense variant for SMALL mention tables: one vectorized compare of
+    every candidate against the whole table beats per-candidate binary
+    search (XLA lowers each search step to a dependent per-element gather
+    — ~32 of them per candidate cost more than a whole search batch; an
+    EMPTY memory-tier table still paid all of it)."""
+    ids = tier["mention_ids"]
+    cap = ids.shape[0]
+    live = jnp.arange(cap, dtype=jnp.int32)[None, :] < tier["mention_len"]
+    eq = jnp.logical_and(ids[None, :] == cand_ids[:, None], live)
+    return jnp.max(jnp.where(eq, tier["mention_ord"][None, :], -1), axis=1)
 
 
 def _score_rank(p: SearchParams, d, o, inv, min_score):
@@ -358,8 +375,14 @@ def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat, n_mentioning=None)
     def lookup(_):
         outs = []
         for tier, offset in ((file_tier, 0), (mem_tier, S_F)):
-            if tier["mention_ids"].shape[0] >= 64 * BLOCK:
+            cap = tier["mention_ids"].shape[0]
+            if cap % BLOCK == 0 and cap > 4096:
+                # Resident/two-level lookup (no per-candidate XLA binary
+                # search — ~10 dependent gathers per candidate is the slow
+                # path at any size worth blocking).
                 ord_local = mention_lookup_blocked(tier, cand_flat, valid_flat)
+            elif cap * cand_flat.shape[0] <= (1 << 28):
+                ord_local = tier_newest_ord_dense(tier, cand_flat)
             else:
                 ord_local = tier_newest_ord(tier, cand_flat)
             outs.append(jnp.where(ord_local >= 0, ord_local + offset, -1))
