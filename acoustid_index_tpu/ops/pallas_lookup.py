@@ -92,8 +92,10 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     from jax.experimental.pallas import tpu as pltpu
 
     # Lookups per grid step (2 pipelined block DMAs each).  Bigger G
-    # amortizes the fixed per-step cost over more lookups; must divide TILE.
-    G = int(os.environ.get("AITPU_LOOKUP_G", "64"))
+    # amortizes the fixed per-step cost over more lookups; must divide
+    # TILE.  The pair kernel carries 2G block operands per step, so its
+    # sweet spot is lower than the single-block kernel's.
+    G = int(os.environ.get("AITPU_PAIR_G", "64"))
     TILE = 1024
 
     L = queries.shape[0]
@@ -177,7 +179,8 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
     probes/_probe_kernelvariants.py)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    G = int(os.environ.get("AITPU_LOOKUP_G", "64"))
+    # G=256 measured 41ns/lookup vs 52 at G=64 (probes/_probe_kernelvariants).
+    G = int(os.environ.get("AITPU_LOOKUP_G", "256"))
 
     L = queries.shape[0]
     hashes2d = hashes.reshape(-1, 128)

@@ -183,11 +183,16 @@ def main():
     assert np.array_equal(np.asarray(a), np.asarray(b)), "landing smem parity"
     print("parity ok", flush=True)
 
-    for G in (32, 64):
-        for mode in ("onehot", "smem"):
+    import os as _os
+
+    lands = tuple(int(x) for x in _os.environ.get("SWEEP_LAND", "32,64").split(",") if x)
+    ress = tuple(int(x) for x in _os.environ.get("SWEEP_RES", "32,64,128").split(",") if x)
+    modes = tuple(m for m in _os.environ.get("SWEEP_MODES", "onehot,smem").split(",") if m)
+    for G in lands:
+        for mode in modes:
             bench(f"land_g{G}_{mode}", make_landing(G, mode), big, N // BLOCK)
-    for G in (32, 64, 128):
-        for mode in ("onehot", "smem"):
+    for G in ress:
+        for mode in modes:
             bench(f"res_g{G}_{mode}", make_resident(G, mode), top, top_pad // BLOCK)
 
 
