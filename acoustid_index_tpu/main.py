@@ -24,6 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--legacy-port", type=int, default=0, help="0 = off")
     p.add_argument("--load-concurrency", type=int, default=0, help="0 = unlimited")
     p.add_argument("--coordinator", action="store_true", help="Run as changelog coordinator")
+    p.add_argument(
+        "--coordinator-dir",
+        default=None,
+        help="Coordinator mode: persist the changelog here (default: memory only)",
+    )
     p.add_argument("--coordinator-url", default=None, help="Replica mode: consume this changelog")
     p.add_argument("--peers", default=None, help="Comma-separated peer base URLs (snapshot donors)")
     p.add_argument("--bootstrap-timeout-ms", type=int, default=1_800_000, help="0 disables")
@@ -149,7 +154,13 @@ def run_coordinator(args) -> None:
     from .cluster.coordinator_server import CoordinatorApp
     from .server.http import HttpServer
 
-    coordinator = MemoryCoordinator()
+    if args.coordinator_dir:
+        from .cluster.file_coordinator import FileCoordinator
+
+        coordinator = FileCoordinator(args.coordinator_dir)
+        logging.info("durable changelog in %s", args.coordinator_dir)
+    else:
+        coordinator = MemoryCoordinator()
     app = CoordinatorApp(coordinator)
     server = HttpServer(args.host, args.port, app.router, app.error_response, app.not_found)
     logging.info("coordinator on %s:%d", args.host, server.port)

@@ -108,6 +108,82 @@ def test_cluster_end_to_end(cluster, tmp_path):
     assert got["results"] == []  # old lineage's data is gone
 
 
+def test_cluster_coordinator_restart_durable(tmp_path):
+    """A SIGKILLed coordinator restarted with --coordinator-dir resumes the
+    exact changelog: existing replicas keep writing at the same versions,
+    and a fresh replica replays the full pre-crash history."""
+    cdir = str(tmp_path / "coordlog")
+    coord = Server(
+        tmp_path / "coord", extra_args=["--coordinator", "--coordinator-dir", cdir]
+    ).start()
+    procs = [coord]
+    try:
+        a = Server(
+            tmp_path / "a",
+            extra_args=[
+                "--coordinator-url",
+                f"http://127.0.0.1:{coord.port}",
+                "--checkpoint-age-ms",
+                "0",
+            ],
+        ).start()
+        procs.append(a)
+
+        requests.put(a.url("/idx"))
+        gen = requests.get(a.url("/idx/_status")).json()["generation"]
+        for i in range(1, 6):
+            r = requests.put(a.url(f"/idx/{i}"), json={"hashes": [i, 500]})
+            assert r.status_code == 200, r.text
+
+        # Hard-kill the coordinator and bring it back on the SAME port.
+        port = coord.port
+        coord.stop(hard=True)
+        coord.extra_args += ["--port", str(port)]
+        coord.start()
+
+        # The generation assignment survived: recreate attempts are idempotent
+        # (same active generation), and writes resume at the next version.
+        wait_until(
+            lambda: requests.put(
+                a.url("/idx/6"), json={"hashes": [6, 500]}, timeout=5
+            ).status_code
+            == 200,
+            what="write after coordinator restart",
+            timeout=60,
+        )
+        st = requests.get(a.url("/idx/_status")).json()
+        assert st["generation"] == gen
+
+        # A fresh replica must replay the FULL pre-crash history from the
+        # durable changelog.
+        b = Server(
+            tmp_path / "b",
+            extra_args=[
+                "--coordinator-url",
+                f"http://127.0.0.1:{coord.port}",
+                "--checkpoint-age-ms",
+                "0",
+            ],
+        ).start()
+        procs.append(b)
+        wait_until(
+            lambda: post_search(
+                b.url("/idx/_search"), json={"query": [500, 3], "score_pct": 0, "min_score": 1}
+            )
+            .json()
+            .get("results"),
+            what="pre-crash data on b",
+            timeout=60,
+        )
+        got = post_search(
+            b.url("/idx/_search"), json={"query": [500], "score_pct": 0, "min_score": 1}
+        ).json()
+        assert {r["id"] for r in got["results"]} == {1, 2, 3, 4, 5, 6}
+    finally:
+        for p in procs:
+            p.stop()
+
+
 def test_cluster_bootstrap_from_peer(cluster):
     coord, replica = cluster
     # Aggressive checkpointing so A's file_version (the donor watermark)
