@@ -242,17 +242,22 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
 
         B = queries.shape[0]
 
-        def gather_rank(p_eff):
+        def gather_rank(p_eff, use_mem=True):
             """Per-shard gather at budget p_eff, exact cross-shard combine
             (concatenate every shard's hit list along the postings axis —
             ordinals are global, every shard packs the same segment set
             partitioned by hash, so the combined stream scores exactly like
-            a single-chip stream of the union), then rank."""
+            a single-chip stream of the union), then rank.
+
+            `use_mem=False` compiles the no-memory-tier-gather variant for
+            the fully-merged steady state, mirroring the single-chip
+            kernel's has_mem branch (search_kernel._search_batch_impl)."""
 
             def branch(_):
                 def plan_one(f_lo1, f_cnt1, m_lo1, m_cnt1):
                     return _plan_and_gather(
-                        p_eff, f_search, m_search, f_lo1, f_cnt1, m_lo1, m_cnt1
+                        p_eff, f_search, m_search, f_lo1, f_cnt1, m_lo1, m_cnt1,
+                        use_mem=use_mem,
                     )
 
                 d, o, inv, totals, overs = jax.vmap(plan_one)(f_lo, f_cnt, m_lo, m_cnt)
@@ -283,14 +288,24 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         # union of every shard's P_SMALL-budget hit list.
         n_dev = mesh.devices.size  # static: C must fit the combined stream
         small_ok = params.postings_budget > P_SMALL and params.candidate_cap <= n_dev * P_SMALL
+        # Empty-memory-tier branch (global predicate: a hash-range shard can
+        # hold memory postings another shard lacks, so pmax replicates the
+        # choice — collectives inside the branches require it).
+        has_mem = jax.lax.pmax(jnp.sum(m_search["seg_len"]), AXIS) > 0
+
+        def at_budget(p_eff):
+            return lambda _: jax.lax.cond(
+                has_mem, gather_rank(p_eff, True), gather_rank(p_eff, False), None
+            )
+
         if small_ok:
             p_small, totals_rough = small_budget(params, f_cnt, m_cnt, B)
             small = jax.lax.pmax(jnp.max(totals_rough), AXIS) <= P_SMALL
             cd, co, csc, c_valid, c_over, totals, overs = jax.lax.cond(
-                small, gather_rank(p_small), gather_rank(params), None
+                small, at_budget(p_small), at_budget(params), None
             )
         else:
-            cd, co, csc, c_valid, c_over, totals, overs = gather_rank(params)(None)
+            cd, co, csc, c_valid, c_over, totals, overs = at_budget(params)(None)
 
         # Supersession: each candidate doc lives in exactly one docid-range
         # shard; the blocked mention lookup answers locally, pmax combines.

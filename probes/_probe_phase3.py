@@ -130,14 +130,15 @@ def phase_fn(phase):
     return runK
 
 
-for phase in ("ranges", "gather", "score", "full"):
-    runK = phase_fn(phase)
-    pj = jax.device_put(jnp.asarray(pin))
-    times = {}
-    for K in (2, 12):
-        int(jax.device_get(runK(K, file_tier, mem_tier, pj)))  # compile + warm
-        t0 = time.time()
-        int(jax.device_get(runK(K, file_tier, mem_tier, pj)))
-        times[K] = time.time() - t0
-    slope = (times[12] - times[2]) / 10
-    print(f"{phase}: {slope*1000:.2f} ms/batch ({BATCH/slope:.0f} qps)", flush=True)
+if __name__ == "__main__":  # guard: other probes import this module for its table
+    for phase in ("ranges", "gather", "score", "full"):
+        runK = phase_fn(phase)
+        pj = jax.device_put(jnp.asarray(pin))
+        times = {}
+        for K in (2, 12):
+            int(jax.device_get(runK(K, file_tier, mem_tier, pj)))  # compile + warm
+            t0 = time.time()
+            int(jax.device_get(runK(K, file_tier, mem_tier, pj)))
+            times[K] = time.time() - t0
+        slope = (times[12] - times[2]) / 10
+        print(f"{phase}: {slope*1000:.2f} ms/batch ({BATCH/slope:.0f} qps)", flush=True)
