@@ -96,7 +96,9 @@ class Searcher:
             min_slots=hwm[3],
             min_caps=(hwm[0], hwm[1], hwm[2]),
         )
-        hwm[0] = max(hwm[0], int(view["hashes"].shape[0]))
+        from ..ops.layout import postings_cap
+
+        hwm[0] = max(hwm[0], postings_cap(view))
         hwm[1] = max(hwm[1], int(view["docs_ids"].shape[0]))
         hwm[2] = max(hwm[2], int(view["mention_ids"].shape[0]))
         hwm[3] = max(hwm[3], int(view["seg_start"].shape[0]))

@@ -177,6 +177,16 @@ def pack_tier(
     elif slots > 1:
         ord_arr = np.zeros(cap, np.int32)
     block_index = np.ascontiguousarray(hashes[::BLOCK])
+
+    # Tiers served by the blocked (per-lookup DMA) range path interleave
+    # hashes and docids at block granularity so one kernel operand carries
+    # both the compare rows and the payload rows (see ops/layout.py).
+    from ..ops.layout import interleave_np, use_interleaved
+    from ..ops.pallas_lookup import _resident_max_bytes
+
+    inter = None
+    if use_interleaved(cap, _resident_max_bytes()):
+        inter = interleave_np(hashes, docids)
     docs_ids = _pack_runs([s.docs_ids for s in segments], dcap, SENTINEL32)
     docs_alive = _pack_runs(
         [s.docs_alive.astype(np.int32) for s in segments], dcap, np.int32(0)
@@ -190,8 +200,6 @@ def pack_tier(
     m_ord[: mention_ord.shape[0]] = mention_ord
 
     out = {
-        "hashes": jnp.asarray(hashes),
-        "docids": jnp.asarray(docids),
         "block_index": jnp.asarray(block_index),
         "seg_start": jnp.asarray(seg_start),
         "seg_len": jnp.asarray(seg_len),
@@ -204,6 +212,11 @@ def pack_tier(
         "mention_len": jnp.asarray(np.int32(mention_ids.shape[0])),
         "view_token": next(_VIEW_TOKENS),
     }
+    if inter is not None:
+        out["inter"] = jnp.asarray(inter)
+    else:
+        out["hashes"] = jnp.asarray(hashes)
+        out["docids"] = jnp.asarray(docids)
     if ord_arr is not None:
         out["ord"] = jnp.asarray(ord_arr)
     return out
@@ -212,6 +225,7 @@ def pack_tier(
 SEARCH_TIER_FIELDS = (
     "hashes",
     "docids",
+    "inter",  # interleaved postings blocks (replaces hashes/docids on large tiers)
     "ord",  # per-posting tier-local ordinal (absent on single-slot tiers)
     "block_index",
     "seg_start",

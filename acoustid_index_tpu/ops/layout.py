@@ -1,0 +1,94 @@
+"""Interleaved postings block layout for large tiers.
+
+The landing-block kernel's cost is per-OPERAND pipeline bookkeeping
+(~41ns/lookup — measured body- and DMA-pattern-insensitive,
+probes/_probe_ceiling.py), so fetching a hash block and its docid block as
+SEPARATE operands would double the price of the range phase.  Large tiers
+therefore interleave the two arrays at block granularity:
+
+    inter[u32, 2*cap]:  per 1024-posting block b,
+        entries [b*2048,      b*2048+1024) = hashes  of block b
+        entries [b*2048+1024, b*2048+2048) = docids of block b
+
+One (16, 128) operand then carries BOTH the compare rows and the payload
+rows — measured free vs the hash-only operand (probes/_probe_fused3.py) —
+which lets the landing kernel emit each lookup's docid rows as a side
+output and the serving pipeline skip most of its separate postings gather.
+
+Small tiers (anything the dense/VMEM-resident range paths serve) keep the
+plain "hashes"/"docids" pair: residency already makes their lookups ~free,
+and the plain layout keeps those kernels simple.  `use_interleaved`
+decides; every consumer handles both via the helpers here.
+
+Reference scope note: the reference's FileSegment stores block-compressed
+postings and scans blocks linearly (/root/reference/src/FileSegment.zig:
+135-180, block.zig); the interleave is the TPU replacement for its
+"everything a scan needs sits in one cache line" property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 1024  # postings per block — must match ops.pallas_lookup.BLOCK
+
+
+def use_interleaved(cap: int, resident_max_bytes: int) -> bool:
+    """True when a tier of postings capacity `cap` should pack interleaved:
+    exactly the tiers the blocked (per-lookup DMA) range path serves.  Tiers
+    at or below the resident budget keep the plain layout (the resident /
+    dense paths never pay per-lookup DMAs), as do tiers too small for the
+    blocked path's gating (which would otherwise fall back to the bounded
+    binary search)."""
+    return cap >= 64 * BLOCK and cap * 4 > resident_max_bytes
+
+
+def interleave_np(hashes: np.ndarray, docids: np.ndarray) -> np.ndarray:
+    """Host-side pack: (cap,) + (cap,) -> (2*cap,) interleaved blocks."""
+    cap = hashes.shape[0]
+    assert cap % BLOCK == 0, cap
+    out = np.empty(2 * cap, dtype=np.uint32)
+    v = out.reshape(-1, 2, BLOCK)
+    v[:, 0, :] = hashes.reshape(-1, BLOCK)
+    v[:, 1, :] = docids.reshape(-1, BLOCK)
+    return out
+
+
+def interleave_jnp(hashes, docids):
+    """Device-side pack (for device-built tables: sharded packing, bench)."""
+    import jax.numpy as jnp
+
+    cap = hashes.shape[0]
+    assert cap % BLOCK == 0, cap
+    return jnp.stack(
+        [hashes.reshape(-1, BLOCK), docids.reshape(-1, BLOCK)], axis=1
+    ).reshape(-1)
+
+
+def postings_cap(tier) -> int:
+    """Static postings capacity of a packed tier, either layout."""
+    if "inter" in tier:
+        return tier["inter"].shape[0] // 2
+    return tier["hashes"].shape[0]
+
+
+def hash_index(idx):
+    """Map a flat posting index to its position in the interleaved array."""
+    return ((idx >> 10) << 11) + (idx & (BLOCK - 1))
+
+
+def docid_index(idx):
+    return ((idx >> 10) << 11) + BLOCK + (idx & (BLOCK - 1))
+
+
+def hash_gather(tier, idx):
+    """tier hash at posting index `idx` (caller clips idx to the cap)."""
+    if "inter" in tier:
+        return tier["inter"][hash_index(idx)]
+    return tier["hashes"][idx]
+
+
+def docid_gather(tier, idx):
+    if "inter" in tier:
+        return tier["inter"][docid_index(idx)]
+    return tier["docids"][idx]

@@ -77,7 +77,7 @@ def _chunked_stream(call, scalars, L, max_stream: int = MAX_STREAM):
     return jnp.concatenate(comps), padded
 
 
-def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queries: jax.Array):
+def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queries: jax.Array, stride: int = 1):
     """(lo, count) per lookup over the two-block window [blk0, blk1].
 
     `hashes` has length a multiple of BLOCK (sentinel padded); `blk0`/`blk1`
@@ -88,6 +88,9 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     rather than a fourth array.  lo is the absolute index of the first
     posting >= query within the window; count the number of equal postings
     inside it.
+
+    `stride=2` reads the interleaved layout (ops/layout.py): each block
+    operand covers 2*ROWS rows of which the first ROWS are the hashes.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -121,8 +124,8 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
             j = base + k
             q = q_ref[j]
             flag = (blk1_ref[j] > 0).astype(jnp.int32)
-            b0 = h_refs[2 * k][:, :]
-            b1 = h_refs[2 * k + 1][:, :]
+            b0 = h_refs[2 * k][0:ROWS, :]
+            b1 = h_refs[2 * k + 1][0:ROWS, :]
             v0 = (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
             v1 = (b1 < q).astype(jnp.int32) + ((b1 == q).astype(jnp.int32) << 12)
             comp_ref[j] = jnp.sum(v0 + flag * v1)
@@ -132,10 +135,10 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
         idx = k // 2
         if half == 0:
             return pl.BlockSpec(
-                (ROWS, 128), lambda i, b0, b1, q, idx=idx: (b0[i * G + idx], 0)
+                (stride * ROWS, 128), lambda i, b0, b1, q, idx=idx: (b0[i * G + idx], 0)
             )
         return pl.BlockSpec(
-            (ROWS, 128), lambda i, b0, b1, q, idx=idx: (b1[i * G + idx], 0)
+            (stride * ROWS, 128), lambda i, b0, b1, q, idx=idx: (b1[i * G + idx], 0)
         )
 
     def call(b0c, b1c, qc):
@@ -164,7 +167,7 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     return lo, eq
 
 
-def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
+def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array, stride: int = 1):
     """Single-block (lo, count) lookup — for lookups that never need a
     two-block window: tables of UNIQUE keys (the mention tables, where a key
     never spans blocks) and the top-index search (whose result is refined by
@@ -176,7 +179,10 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
     the same), so carrying a dead operand doubles the price.  One operand
     per lookup runs ~2x faster.  Outputs are SMEM scalars (one scalar store
     per lookup; measured faster than one-hot tile merges at every G —
-    probes/_probe_kernelvariants.py)."""
+    probes/_probe_kernelvariants.py).
+
+    `stride=2` reads the interleaved layout (ops/layout.py): each operand
+    covers 2*ROWS rows, hashes in the first ROWS."""
     from jax.experimental.pallas import tpu as pltpu
 
     # G=256 measured 41ns/lookup vs 52 at G=64 (probes/_probe_kernelvariants).
@@ -193,13 +199,15 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array):
         for k in range(G):
             j = base + k
             q = q_ref[j]
-            b0 = h_refs[k][:, :]
+            b0 = h_refs[k][0:ROWS, :]
             comp_ref[j] = jnp.sum(
                 (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
             )
 
     def in_spec(idx):
-        return pl.BlockSpec((ROWS, 128), lambda i, b, q, idx=idx: (b[i * G + idx], 0))
+        return pl.BlockSpec(
+            (stride * ROWS, 128), lambda i, b, q, idx=idx: (b[i * G + idx], 0)
+        )
 
     def call(bc, qc):
         Lc = qc.shape[0]
@@ -321,6 +329,7 @@ def tier_ranges_resident(tier, queries, valid_q, cap_k):
     Equal-hash runs longer than the two-chunk window truncate with the
     flag set, like the blocked path's scan bounds."""
     B, Q = queries.shape
+    assert "hashes" in tier, "interleaved tiers always take the blocked path"
     hp = tier["hashes"]  # cap is a BLOCK multiple, sentinel padded
     n_items = jnp.sum(tier["seg_len"]).astype(jnp.int32)
     nchunks = hp.shape[0] // BLOCK
@@ -379,6 +388,10 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     B, Q = queries.shape
     block_index = tier["block_index"]
     nblk = block_index.shape[0]
+    if "inter" in tier:
+        postings, stride = tier["inter"], 2  # interleaved blocks (ops/layout.py)
+    else:
+        postings, stride = tier["hashes"], 1
     n_items = jnp.sum(tier["seg_len"]).astype(jnp.int32)
     blk_last = jnp.maximum((n_items - 1) // BLOCK, 0)
 
@@ -440,7 +453,7 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     L = lookups.shape[0]
     window = jnp.logical_and(live, jnp.logical_or(step_back, enabled)).reshape(-1)
     blk_main = jnp.where(live, blk, 0).reshape(-1)
-    lo_flat, cnt_flat = block_lookup(tier["hashes"], blk_main, lookups)
+    lo_flat, cnt_flat = block_lookup(postings, blk_main, lookups, stride=stride)
 
     # The fixup stream must cover realistic straddler loads: a hot hash
     # whose run crosses a block boundary consumes one slot per batch row
@@ -460,7 +473,7 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     fb0 = jnp.where(valid_w, b0.reshape(-1)[sel], 0)
     fb1 = jnp.where(valid_w, b1.reshape(-1)[sel], 0)
     fq = jnp.where(valid_w, lookups[sel], jnp.uint32(0))
-    lo_fix, cnt_fix = block_lookup_pair(tier["hashes"], fb0, fb1, fq)
+    lo_fix, cnt_fix = block_lookup_pair(postings, fb0, fb1, fq, stride=stride)
     tgt = jnp.where(valid_w, sel, L)  # dead slots scatter out of range
     lo_flat = lo_flat.at[tgt].set(lo_fix, mode="drop")
     cnt_flat = cnt_flat.at[tgt].set(cnt_fix, mode="drop")

@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from .binsearch import lower_bound, steps_for, upper_bound
+from .layout import docid_gather, postings_cap
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -83,6 +84,7 @@ def _tier_ranges(tier, queries, valid_q, cap_k):
     sorted postings ((B, Q) shapes): one bounded binary search per hash,
     independent of the segment count."""
     n_items = _tier_n_items(tier)
+    assert "hashes" in tier, "interleaved tiers always take the blocked path"
     lo = lower_bound(tier["hashes"], queries, jnp.int32(0), n_items)
     hi = upper_bound(tier["hashes"], queries, jnp.int32(0), n_items)
     counts = (hi - lo).astype(jnp.int32)
@@ -145,13 +147,13 @@ def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo,
         src = flat_lo[j] + within
     p_valid = pos < total
 
-    src_f = jnp.clip(src, 0, file_tier["docids"].shape[0] - 1)
-    f_vals = file_tier["docids"][src_f]
+    src_f = jnp.clip(src, 0, postings_cap(file_tier) - 1)
+    f_vals = docid_gather(file_tier, src_f)
     f_ord = file_tier["ord"][src_f] if "ord" in file_tier else jnp.int32(0)
     if use_mem:
         is_mem = j >= Q
-        src_m = jnp.clip(src, 0, mem_tier["docids"].shape[0] - 1)
-        m_vals = mem_tier["docids"][src_m]
+        src_m = jnp.clip(src, 0, postings_cap(mem_tier) - 1)
+        m_vals = docid_gather(mem_tier, src_m)
         m_ord = (mem_tier["ord"][src_m] if "ord" in mem_tier else jnp.int32(0)) + jnp.int32(S_F)
         vals = jnp.where(is_mem, m_vals, f_vals)
         ords = jnp.where(is_mem, m_ord, f_ord)
@@ -171,6 +173,7 @@ def _tier_ranges_dense(tier, queries, valid_q, cap_k):
     scalar loads, so a bounded search over B*Q*2 bounds costs more than
     comparing every query against the entire table and reducing on the
     MXU."""
+    assert "hashes" in tier, "interleaved tiers always take the blocked path"
     cap = tier["hashes"].shape[0]
     B, Q = queries.shape
     n_items = _tier_n_items(tier)
@@ -211,15 +214,19 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
 
     outs = []
     for tier in (file_tier, mem_tier):
-        cap = tier["hashes"].shape[0]
+        cap = postings_cap(tier)
         # Static-shape decision (smallest-cost path that fits):
         #   * tiny tiers compare densely on the MXU;
         #   * tiers whose whole run fits VMEM use the resident two-chunk
         #     scan (~6-10ns/lookup, no per-lookup DMA) — the serving
         #     memory tier between checkpoints lives here;
-        #   * big tiers pay one pipelined block DMA per lookup;
+        #   * big tiers (interleaved layout) pay one pipelined block DMA
+        #     per lookup;
         #   * anything else (huge cap, no block index) binary-searches.
-        if cap <= 4096 and B * Q * cap <= (1 << 28):
+        if "inter" in tier:
+            # layout.use_interleaved guarantees the blocked path's gating.
+            outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
+        elif cap <= 4096 and B * Q * cap <= (1 << 28):
             # The dense compare materializes (B*Q, cap) f32 operands; the
             # volume bound keeps that under ~1GB (a 4096-bucket batch of
             # 256 queries against a 4096-entry tier would otherwise build

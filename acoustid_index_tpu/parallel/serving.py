@@ -56,7 +56,12 @@ class ShardedBatchingSearcher(BatchingSearcher):
             max(slot_bucket(len(segments), slots), min(hwm[3], slots)),
             min_caps=(hwm[0], hwm[1], hwm[2]),
         )
-        hwm[0] = max(hwm[0], int(view_np["hashes"].shape[1]))
+        cap0 = (
+            view_np["inter"].shape[1] // 2
+            if "inter" in view_np
+            else view_np["hashes"].shape[1]
+        )
+        hwm[0] = max(hwm[0], int(cap0))
         hwm[1] = max(hwm[1], int(view_np["docs_ids"].shape[1]))
         hwm[2] = max(hwm[2], int(view_np["mention_ids"].shape[1]))
         hwm[3] = max(hwm[3], int(view_np["seg_start"].shape[1]))

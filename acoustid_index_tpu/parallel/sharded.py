@@ -190,6 +190,18 @@ def _pack_tier_sharded(
             out["docs_alive"][k, dpos : dpos + a.shape[0]] = per_shard_alive[k][s_idx]
             dpos += a.shape[0]
         out["block_index"][k] = out["hashes"][k, ::BLOCK]
+
+    # Per-shard interleave decision mirrors pack_tier: the per-shard slice
+    # is what each device's blocked range path actually scans.
+    from ..ops.layout import interleave_np, use_interleaved
+    from ..ops.pallas_lookup import _resident_max_bytes
+
+    if use_interleaved(cap, _resident_max_bytes()):
+        inter = np.empty((n_shards, 2 * cap), np.uint32)
+        for k in range(n_shards):
+            inter[k] = interleave_np(out["hashes"][k], out["docids"][k])
+        out["inter"] = inter
+        del out["hashes"], out["docids"]
     return out
 
 

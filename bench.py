@@ -89,7 +89,8 @@ def parity_gate():
         file_view=pack_tier([f1, f2], FILE_SLOTS),
         mem_view=pack_tier([m1], MEMORY_SLOTS),
     )
-    assert snap.file_view["hashes"].shape[0] >= 64 * BLOCK, "parity table too small to engage Pallas"
+    from acoustid_index_tpu.ops.layout import postings_cap
+    assert postings_cap(snap.file_view) >= 64 * BLOCK, "parity table too small to engage Pallas"
 
     import sys
 

@@ -18,6 +18,7 @@ from acoustid_index_tpu.engine.segments import (
     pack_tier,
 )
 from acoustid_index_tpu.ops.pallas_lookup import BLOCK
+from acoustid_index_tpu.ops.layout import postings_cap
 
 
 def test_pallas_path_matches_oracle():
@@ -35,7 +36,7 @@ def test_pallas_path_matches_oracle():
         file_view=pack_tier([seg], FILE_SLOTS),
         mem_view=pack_tier([], MEMORY_SLOTS),
     )
-    assert snap.file_view["hashes"].shape[0] >= 64 * BLOCK  # pallas path gating
+    assert postings_cap(snap.file_view) >= 64 * BLOCK  # pallas path gating
 
     searcher = Searcher()
     h_sorted = np.asarray(seg.hashes)
@@ -121,7 +122,7 @@ def test_pallas_path_randomized_multisegment_with_supersession():
         file_view=pack_tier([f1, f2], FILE_SLOTS),
         mem_view=pack_tier([m1], MEMORY_SLOTS),
     )
-    assert snap.file_view["hashes"].shape[0] >= 64 * BLOCK  # pallas gating
+    assert postings_cap(snap.file_view) >= 64 * BLOCK  # pallas gating
 
     oracle_segs = [
         OracleSegment(

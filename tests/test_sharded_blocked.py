@@ -12,6 +12,11 @@ from acoustid_index_tpu.engine.model import Insert, SegmentInfo, SearchOptions
 from acoustid_index_tpu.engine.searcher import Searcher
 from acoustid_index_tpu.engine.segments import Snapshot, pack_tier, FILE_SLOTS, MEMORY_SLOTS
 from acoustid_index_tpu.ops.pallas_lookup import BLOCK
+
+
+def postings_cap_sharded(tier):
+    return tier["inter"].shape[1] // 2 if "inter" in tier else tier["hashes"].shape[1]
+
 from acoustid_index_tpu.ops.search_kernel import SearchParams
 from acoustid_index_tpu.parallel.sharded import build_sharded_view, make_mesh, sharded_search
 
@@ -29,7 +34,7 @@ def test_sharded_blocked_path_matches_single_device():
     mesh = make_mesh(8)
     snap = Snapshot(file=(seg,), memory=())
     view = build_sharded_view(snap, mesh)
-    assert view.file_tier["hashes"].shape[1] >= 64 * BLOCK  # pallas path gating
+    assert postings_cap_sharded(view.file_tier) >= 64 * BLOCK  # pallas path gating
 
     single = Snapshot(
         file=(seg,),
