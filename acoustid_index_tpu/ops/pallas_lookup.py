@@ -167,6 +167,105 @@ def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queri
     return lo, eq
 
 
+def block_lookup_emit(inter: jax.Array, blk: jax.Array, queries: jax.Array):
+    """Landing-block lookup over the INTERLEAVED layout that ALSO emits each
+    lookup's docid rows: returns (lo, cnt, rows (L, 2, 128) u32) where
+    rows[j] are docid sublane rows r and min(r+1, ROWS-1) of lookup j's
+    landing block, r = lt(j) // 128.  Those two rows cover table positions
+    [blk*BLOCK + 128*r, blk*BLOCK + 128*(r+2)) — a superset of [lo, lo+128]
+    — so the caller can extract a run's leading docids with pure elementwise
+    one-hot lane selection instead of per-posting HBM gathers (the measured
+    second-biggest cost of the search program after this kernel itself).
+
+    The emission is free: the docid rows already sit in the operand tile
+    (that is the point of the interleave) and the row selection + two
+    aligned (1, 128) vector stores measured 41ns/lookup vs the 41-44ns
+    landing baseline (probes/_probe_fused3.py).  SMEM scalar stores of
+    extracted docids, by contrast, measured +64ns per value — scalar
+    emission is the one shape the kernel must avoid.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = int(os.environ.get("AITPU_EMIT_G", "128"))
+    L = queries.shape[0]
+    inter2d = inter.reshape(-1, 128)
+
+    def kernel(blk_ref, q_ref, *refs):
+        t_refs = refs[:G]
+        comp_ref = refs[G]
+        rows_ref = refs[G + 1]
+        i = pl.program_id(0)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
+        base = i * G
+        for k in range(G):
+            j = base + k
+            q = q_ref[j]
+            tile = t_refs[k]
+            hh = tile[0:ROWS, :]
+            dd = jax.lax.bitcast_convert_type(tile[ROWS : 2 * ROWS, :], jnp.int32)
+            comp = jnp.sum(
+                (hh < q).astype(jnp.int32) + ((hh == q).astype(jnp.int32) << 12)
+            )
+            comp_ref[j] = comp
+            lt = comp & 0xFFF
+            r = jnp.minimum(lt >> 7, ROWS - 1)
+            r2 = jnp.minimum(r + 1, ROWS - 1)
+            row0 = jnp.sum(jnp.where(rows_iota == r, dd, 0), axis=0, keepdims=True)
+            row1 = jnp.sum(jnp.where(rows_iota == r2, dd, 0), axis=0, keepdims=True)
+            rows_ref[2 * k : 2 * k + 1, :] = row0
+            rows_ref[2 * k + 1 : 2 * k + 2, :] = row1
+
+    def in_spec(idx):
+        return pl.BlockSpec(
+            (2 * ROWS, 128), lambda i, b, q, idx=idx: (b[i * G + idx], 0)
+        )
+
+    def call(bc, qc):
+        Lc = qc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Lc // G,),
+            in_specs=[in_spec(k) for k in range(G)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((2 * G, 128), lambda i, b, q: (i, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((Lc,), jnp.int32),
+                jax.ShapeDtypeStruct((2 * Lc, 128), jnp.int32),
+            ),
+            interpret=_use_interpret(),
+        )(bc, qc, *([inter2d] * G))
+
+    # Same chunking discipline as _chunked_stream, tuple outputs.
+    TILE = 1024
+    L_pad = -(-L // TILE) * TILE
+    if L_pad != L:
+        blk = jnp.concatenate([blk, jnp.zeros(L_pad - L, blk.dtype)])
+        queries = jnp.concatenate([queries, jnp.zeros(L_pad - L, queries.dtype)])
+    if L_pad <= MAX_STREAM:
+        comp, rows = call(blk, queries)
+    else:
+        comps, rowss = [], []
+        for s in range(0, L_pad, MAX_STREAM):
+            e = min(s + MAX_STREAM, L_pad)
+            c, r = call(blk[s:e], queries[s:e])
+            comps.append(c)
+            rowss.append(r)
+        comp, rows = jnp.concatenate(comps), jnp.concatenate(rowss)
+    rows = jax.lax.bitcast_convert_type(
+        rows.reshape(L_pad, 2, 128)[:L], jnp.uint32
+    )
+    comp = comp[:L]
+    lt = comp & jnp.int32(0xFFF)
+    lo = blk[:L] * BLOCK + lt
+    return lo, comp >> 12, rows
+
+
 def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array, stride: int = 1):
     """Single-block (lo, count) lookup — for lookups that never need a
     two-block window: tables of UNIQUE keys (the mention tables, where a key
@@ -368,7 +467,7 @@ def tier_ranges_resident(tier, queries, valid_q, cap_k):
     return lo.reshape(B, Q), cnt.reshape(B, Q), truncated
 
 
-def tier_ranges_blocked(tier, queries, valid_q, cap_k):
+def tier_ranges_blocked(tier, queries, valid_q, cap_k, emit: bool = False):
     """Two-level replacement for the tier's range phase over its MERGED
     sorted postings run.
 
@@ -376,6 +475,11 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     a truncation flag.  Requires tier["block_index"].  One lookup per
     query hash regardless of the tier's segment count — the comb layout
     (engine/segments.py pack_tier) makes the range phase S-independent.
+
+    `emit=True` (interleaved tiers only) additionally returns each lookup's
+    landing-block docid rows and a covered mask — see block_lookup_emit;
+    the return becomes (lo, cnt, trunc, rows (B*Q, 2, 128) u32, covered
+    (B, Q) bool).
 
     The whole top index is one sorted run, so its search is itself a
     two-level lookup — a dense compare over a 1024x-sampled mini index
@@ -391,6 +495,7 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     if "inter" in tier:
         postings, stride = tier["inter"], 2  # interleaved blocks (ops/layout.py)
     else:
+        assert not emit, "emit requires the interleaved layout"
         postings, stride = tier["hashes"], 1
     n_items = jnp.sum(tier["seg_len"]).astype(jnp.int32)
     blk_last = jnp.maximum((n_items - 1) // BLOCK, 0)
@@ -453,7 +558,16 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
     L = lookups.shape[0]
     window = jnp.logical_and(live, jnp.logical_or(step_back, enabled)).reshape(-1)
     blk_main = jnp.where(live, blk, 0).reshape(-1)
-    lo_flat, cnt_flat = block_lookup(postings, blk_main, lookups, stride=stride)
+    rows = None
+    if emit:
+        # Emitting variant: the landing pass also returns each lookup's two
+        # docid rows (see block_lookup_emit).  `covered` marks lookups whose
+        # (lo, cnt) still describe the landing block after the straddle
+        # fixup below — only those may read their leading docids from the
+        # rows; straddlers' values move to the previous block.
+        lo_flat, cnt_flat, rows = block_lookup_emit(postings, blk_main, lookups)
+    else:
+        lo_flat, cnt_flat = block_lookup(postings, blk_main, lookups, stride=stride)
 
     # The fixup stream must cover realistic straddler loads: a hot hash
     # whose run crosses a block boundary consumes one slot per batch row
@@ -500,6 +614,13 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k):
         ),
         w_over,
     )
+    if emit:
+        # A lookup is covered exactly when its (lo, cnt) still point into
+        # the landing block the emitted rows came from: every non-straddler
+        # (a run never extends past its landing block — see the top-index
+        # invariant above — so rows r, r+1 always span [lo, lo+128]).
+        covered = jnp.logical_and(live, jnp.logical_not(window.reshape(B, Q)))
+        return lo, cnt, truncated, rows, covered
     return lo, cnt, truncated
 
 

@@ -194,13 +194,17 @@ def _tier_ranges_dense(tier, queries, valid_q, cap_k):
     return lo, jnp.minimum(cnt, cap_k), trunc
 
 
-def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
+def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens, want_emit: bool = False):
     """Stage 1 for a (B, Q) query batch: per-tier (B, Q) run ranges over
     each tier's MERGED sorted postings.  Uses the Pallas two-level lookup
     when the tier carries a block index (one flattened lookup stream serves
     the whole batch), a dense compare + MXU reduction for small tiers
     (e.g. the memory tier between checkpoints), and the XLA bounded binary
-    search in between."""
+    search in between.
+
+    `want_emit=True` appends a sixth return value: (rows, covered) from the
+    file tier's emitting blocked lookup (None when the file tier doesn't
+    take the interleaved blocked path) — the input to _direct_candidates."""
     from .pallas_lookup import (
         BLOCK,
         _resident_max_bytes,
@@ -213,6 +217,7 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
     valid_q = jnp.arange(Q, dtype=jnp.int32)[None, :] < q_lens[:, None]
 
     outs = []
+    emit_info = None
     for tier in (file_tier, mem_tier):
         cap = postings_cap(tier)
         # Static-shape decision (smallest-cost path that fits):
@@ -225,7 +230,14 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
         #   * anything else (huge cap, no block index) binary-searches.
         if "inter" in tier:
             # layout.use_interleaved guarantees the blocked path's gating.
-            outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
+            if want_emit and tier is file_tier:
+                lo, cnt, tr, rows, covered = tier_ranges_blocked(
+                    tier, queries, valid_q, K, emit=True
+                )
+                emit_info = (rows, covered)
+                outs.append((lo, cnt, tr))
+            else:
+                outs.append(tier_ranges_blocked(tier, queries, valid_q, K))
         elif cap <= 4096 and B * Q * cap <= (1 << 28):
             # The dense compare materializes (B*Q, cap) f32 operands; the
             # volume bound keeps that under ~1GB (a 4096-bucket batch of
@@ -239,6 +251,8 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens):
         else:
             outs.append(_tier_ranges(tier, queries, valid_q, K))
     (f_lo, f_cnt, f_tr), (m_lo, m_cnt, m_tr) = outs
+    if want_emit:
+        return f_lo, f_cnt, m_lo, m_cnt, jnp.logical_or(f_tr, m_tr), emit_info
     return f_lo, f_cnt, m_lo, m_cnt, jnp.logical_or(f_tr, m_tr)
 
 
@@ -420,6 +434,71 @@ def small_budget(p: SearchParams, f_cnt, m_cnt, B: int):
     return p_small, totals_rough
 
 
+F_DIRECT = 16  # fallback gather slots per query on the direct path
+
+
+def _direct_candidates(p: SearchParams, file_tier, rows, covered, f_lo, f_cnt, lanes_per_hash: int):
+    """Gather-free stage 2 for the fully-merged steady state (all postings
+    in file slot 0, empty memory tier): each hash's first `lanes_per_hash`
+    docids come straight out of the emitted landing-block rows via
+    elementwise one-hot lane selection — no ragged plan, no per-posting HBM
+    loads (the measured second-biggest cost of the search program,
+    ~1ms/batch of 65k random scalar gathers at B=256) — and the rare
+    remainder (runs longer than the lane budget, block-straddling runs)
+    goes through ONE compacted fallback gather of F_DIRECT absolute
+    positions per query.
+
+    Exactness: the caller only selects this path (lax.cond) when every
+    query's remainder fits F_DIRECT; anything else runs the ordinary
+    plan+gather pipeline.  Returns (d (B, P'), inv, totals (B,)) with
+    P' = lanes_per_hash*Q + F_DIRECT; ordinals are implicitly all zero
+    (slot-0-only postings), the caller supplies the zeros."""
+    B, Q = f_lo.shape
+    E = lanes_per_hash
+    rowsf = rows.reshape(B * Q, 2, 128)
+    lo_f = f_lo.reshape(-1)
+    cnt_f = f_cnt.reshape(-1)
+    cov = covered.reshape(-1)
+    off = (lo_f % 128).astype(jnp.int32)
+    lane_iota = jnp.arange(128, dtype=jnp.int32)[None, :]
+    lanes = []
+    for e in range(E):
+        ce = off + e
+        sel = lane_iota == (ce & 127)[:, None]
+        v0 = jnp.sum(jnp.where(sel, rowsf[:, 0, :], jnp.uint32(0)), axis=1)
+        v1 = jnp.sum(jnp.where(sel, rowsf[:, 1, :], jnp.uint32(0)), axis=1)
+        v = jnp.where(ce >= 128, v1, v0)
+        ok = jnp.logical_and(cov, cnt_f > e)
+        lanes.append((v.reshape(B, Q), ok.reshape(B, Q)))
+
+    # Compacted fallback: per query, the stream of positions every hash
+    # still owes (covered hashes start at E, straddlers at 0).  Source
+    # selection is a dense one-hot over Q — small enough that VPU compare
+    # volume beats per-slot gathers, like _plan_and_gather's dense branch.
+    start = jnp.where(covered, E, 0)
+    ov = jnp.maximum(f_cnt - start, 0)
+    cum = jnp.cumsum(ov, axis=1)  # (B, Q)
+    total_ov = cum[:, -1]
+    fpos = jnp.arange(F_DIRECT, dtype=jnp.int32)
+    jsel = jnp.sum((cum[:, None, :] <= fpos[None, :, None]).astype(jnp.int32), axis=2)
+    oh = jsel[:, :, None] == jnp.arange(Q, dtype=jnp.int32)[None, None, :]
+
+    def pick(x):
+        return jnp.sum(jnp.where(oh, x[:, None, :], 0), axis=2)
+
+    within = fpos[None, :] - pick(cum - ov) + pick(start)
+    src = pick(f_lo) + within
+    f_ok = fpos[None, :] < jnp.minimum(total_ov, F_DIRECT)[:, None]
+    srcc = jnp.clip(jnp.where(f_ok, src, 0), 0, postings_cap(file_tier) - 1)
+    fvals = docid_gather(file_tier, srcc.reshape(-1)).reshape(B, F_DIRECT)
+
+    d = jnp.concatenate([l[0] for l in lanes] + [fvals], axis=1)
+    ok = jnp.concatenate([l[1] for l in lanes] + [f_ok], axis=1)
+    d = jnp.where(ok, d, SENTINEL)
+    inv = jnp.logical_not(ok).astype(jnp.int32)
+    return d, inv, jnp.sum(f_cnt, axis=1)
+
+
 def _score_matrix(p: SearchParams, d, o, inv, min_score):
     """Stages 3-4 sort-free, for ANY ordinal mix, at the small budget:
     instead of sorting by docid and run-length scoring, build a (P, P)
@@ -490,7 +569,18 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
     then plan + score vmapped per query."""
     S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
     B = queries.shape[0]
-    f_lo, f_cnt, m_lo, m_cnt, trunc = _batch_ranges(p, file_tier, mem_tier, queries, q_lens)
+    # The emitting range phase powers the gather-free direct path; the
+    # emission itself costs nothing over the plain landing kernel, but the
+    # direct candidate width E*Q+F only stays matrix-friendly for the
+    # fingerprint-sized query buckets.
+    want_emit = "inter" in file_tier and p.query_len <= 256
+    emit_info = None
+    if want_emit:
+        f_lo, f_cnt, m_lo, m_cnt, trunc, emit_info = _batch_ranges(
+            p, file_tier, mem_tier, queries, q_lens, want_emit=True
+        )
+    else:
+        f_lo, f_cnt, m_lo, m_cnt, trunc = _batch_ranges(p, file_tier, mem_tier, queries, q_lens)
 
     def rank_all(use_mem, p_eff):
         def rank_query(f_lo1, f_cnt1, m_lo1, m_cnt1, min_score):
@@ -545,11 +635,6 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
 
         return jax.vmap(select_query)(cd, co, csc, c_valid, newest, limits, min_scores, pcts, totals, overs)
 
-    if not small_ok:
-        res = sort_path(None)
-        res["max_per_hash"] = max_per_hash
-        return res
-
     # Small-budget matrix path: every query's postings fit P_SMALL (the
     # overwhelmingly common serving case — a ~120-hash fingerprint query
     # touches ~125 postings), so stages 3-7 run entirely SORT-FREE for any
@@ -585,12 +670,63 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
 
         return branch
 
-    res = jax.lax.cond(
-        small,
-        lambda _: jax.lax.cond(has_mem, matrix_path(True), matrix_path(False), None),
-        sort_path,
-        None,
-    )
+    def base_path(_):
+        """The pre-existing cascade: small-budget matrix path when every
+        query fits P_SMALL, else the full-budget sort path."""
+        if not small_ok:
+            return sort_path(None)
+        return jax.lax.cond(
+            small,
+            lambda _: jax.lax.cond(has_mem, matrix_path(True), matrix_path(False), None),
+            sort_path,
+            None,
+        )
+
+    if emit_info is not None:
+        # Direct path: gather-free candidates straight from the emitted
+        # landing-block rows (see _direct_candidates).  Engages at runtime
+        # in the fully-merged steady state — all postings in file slot 0
+        # (so every ordinal is provably 0), no memory-tier postings — when
+        # every query's fallback remainder fits F_DIRECT.
+        rows, covered = emit_info
+        E_direct = 2 if p.query_len <= 128 else 1
+        ov_tot = jnp.sum(
+            jnp.maximum(f_cnt - jnp.where(covered, E_direct, 0), 0), axis=1
+        )
+        file_ord0 = jnp.sum(file_tier["seg_len"][1:]) == 0
+        direct_ok = jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(has_mem), file_ord0),
+            jnp.max(ov_tot) <= F_DIRECT,
+        )
+
+        def direct_path(_):
+            d, inv, totals = _direct_candidates(
+                p, file_tier, rows, covered, f_lo, f_cnt, E_direct
+            )
+            o = jnp.zeros(d.shape, jnp.int32)
+            win, score, cand = jax.vmap(
+                lambda d1, o1, i1, ms: _score_matrix(p, d1, o1, i1, ms)
+            )(d, o, inv, min_scores)
+            newest = _batch_newest(
+                file_tier, mem_tier, d.reshape(-1), cand.reshape(-1)
+            ).reshape(d.shape)
+
+            def select_one(d1, win1, score1, cand1, nw1, limit, min_score, pct, total, tr):
+                out = _final_select_matrix(p, d1, score1, win1, cand1, nw1, limit, min_score, pct)
+                out["postings_scanned"] = total
+                out["truncated"] = tr
+                return out
+
+            return jax.vmap(select_one)(
+                d, win, score, cand, newest, limits, min_scores, pcts,
+                totals, jnp.broadcast_to(trunc, (B,)),
+            )
+
+        res = jax.lax.cond(direct_ok, direct_path, base_path, None)
+        res["max_per_hash"] = max_per_hash
+        return res
+
+    res = base_path(None)
     res["max_per_hash"] = max_per_hash
     return res
 
