@@ -97,7 +97,11 @@ def run(jax, jnp) -> dict:
     @jax.jit
     def make_tiers():
         # Sorted by construction: band-major, position-ascending (the f_j
-        # offsets are monotone nondecreasing in p — see _f_np).
+        # offsets are monotone nondecreasing in p — see _f_np).  Emits the
+        # INTERLEAVED layout (ops/layout.py) directly — hashes/docids are
+        # elementwise functions of iota, so XLA fuses them into the
+        # interleave copy and the peak stays ~one 8GiB buffer instead of
+        # pair + inter (which would exceed HBM at this scale).
         p = jnp.arange(N_DOCS, dtype=jnp.uint32)
         docs_per_band = bitrev27(p) + 1  # docid at sorted position p
         bands = []
@@ -112,15 +116,18 @@ def run(jax, jnp) -> dict:
             bands.append(jnp.uint32(j * BAND) + f)
         hashes = jnp.stack(bands).reshape(-1)
         docids = jnp.broadcast_to(docs_per_band[None, :], (HASHES_PER_DOC, N_DOCS)).reshape(-1)
-        return hashes, docids
+        block_index = hashes[::BLOCK]
+        inter = jnp.stack(
+            [hashes.reshape(-1, BLOCK), docids.reshape(-1, BLOCK)], axis=1
+        ).reshape(-1)
+        return inter, block_index
 
-    hashes, docids = make_tiers()
-    hashes.block_until_ready()
+    inter, block_index = make_tiers()
+    inter.block_until_ready()
 
     file_tier = {
-        "hashes": hashes,
-        "docids": docids,
-        "block_index": hashes[::BLOCK],
+        "inter": inter,
+        "block_index": block_index,
         "seg_start": jnp.zeros(1, jnp.int32),
         "seg_len": jnp.zeros(1, jnp.int32).at[0].set(n_postings),
         # Mention table: every doc alive in the single segment = ids 1..N
