@@ -22,6 +22,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-threshold", type=int, default=100_000)
     p.add_argument("--checkpoint-age-ms", type=int, default=60_000, help="0 disables")
     p.add_argument("--legacy-port", type=int, default=0, help="0 = off")
+    p.add_argument(
+        "--search-port",
+        type=int,
+        default=0,
+        help="Native C++ search-plane port (search-only fast path; 0 = off)",
+    )
     p.add_argument("--load-concurrency", type=int, default=0, help="0 = unlimited")
     p.add_argument("--coordinator", action="store_true", help="Run as changelog coordinator")
     p.add_argument(
@@ -120,6 +126,14 @@ def run_server(args) -> None:
         legacy_server = LegacyServer(args.host, args.legacy_port, mi, read_only=replicator is not None)
         legacy_server.serve_background()
 
+    native_front = None
+    if args.search_port:
+        from .server.native_front import NativeFront
+
+        native_front = NativeFront(mi, args.search_port)
+        native_front.start()
+        logging.info("native search plane on 127.0.0.1:%d", args.search_port)
+
     stop = threading.Event()
 
     def on_signal(signum, frame):
@@ -131,6 +145,8 @@ def run_server(args) -> None:
     stop.wait()
     logging.info("shutting down")
     server.shutdown()
+    if native_front is not None:
+        native_front.stop()
     if legacy_server is not None:
         legacy_server.shutdown()
     if replicator is not None:

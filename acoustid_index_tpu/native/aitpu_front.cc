@@ -1,0 +1,1022 @@
+// Native search-plane front end.
+//
+// The serving hot path's host cost is per-request Python work: HTTP parse,
+// body decode, query dedup, row packing, response encode — measured at
+// ~0.27ms/request under GIL contention (SERVING.md), which caps a Python
+// front end around 15k qps while the device sustains 90k+.  This front end
+// moves the ENTIRE per-request path into C++ threads: it owns the sockets,
+// parses HTTP/1.1 + JSON/msgpack search requests, sorts/dedupes the query,
+// packs the device input row, batches requests by (index, query bucket,
+// out bucket), and encodes responses — the Python side only pumps packed
+// row batches through the device (see server/native_front.py), so its
+// per-REQUEST work is zero and its per-BATCH work is one ctypes call each
+// way plus the JAX dispatch.
+//
+// Reference scope: the reference embeds a general-purpose async HTTP
+// server (dusty) for ALL routes; here the control plane (CRUD, updates,
+// snapshots, replication) stays on the Python server and only the search
+// data plane gets the native fast path — the split mirrors how the legacy
+// TCP protocol (/root/reference/src/legacy.zig) runs beside the REST API.
+// Wire behavior mirrors server/app.py handle_search + server/api.py
+// byte-for-byte (pinned by tests/test_native_front.py):
+//   * content negotiation: explicit Accept wins, else mirrors Content-Type
+//     (app.py response_type);
+//   * sanitization: limit -> [1,100], timeout <= 10s, score_pct -> [0,100],
+//     min_score >= 0 or derived ceil(|raw query|/20) (MultiIndex.zig:304);
+//   * query: sorted + deduped u32, capped at 4096 (Index.zig:170-176);
+//   * responses: {"results":[{"id":..,"score":..}]} JSON with Python's
+//     default separators / {"r":[{"i":..,"s":..}]} msgpack short keys;
+//   * errors: {"error":name} / {"e":name} with the api's status codes;
+//   * absolute deadlines: a request never gets results after its timeout
+//     (claimed-but-late batches resolve as SearchTimeout, searcher.py
+//     _collect_loop semantics).
+//
+// C ABI (ctypes): aitpu_front_start/next/complete/fail/stat/stop.
+// Tokens handed to the pump are opaque u64s owning a queued Req; every
+// claimed token MUST be returned through complete() or fail() exactly once.
+
+#include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+constexpr int64_t MAX_BODY = 16 * 1024 * 1024;  // reference's body cap
+constexpr uint32_t QUERY_BUCKETS[] = {64, 128, 256, 1024, 4096};
+constexpr uint32_t MAX_QUERY_HASHES = 4096;
+constexpr int64_t DEFAULT_TIMEOUT_MS = 500;
+constexpr int64_t MAX_TIMEOUT_MS = 10000;
+constexpr int64_t DEFAULT_LIMIT = 40;
+constexpr int64_t MAX_LIMIT = 100;
+
+enum ReqState { QUEUED = 0, CLAIMED = 1, DONE = 2, TIMEDOUT = 3 };
+
+struct Req {
+    std::condition_variable cv;  // waits on the server's global mutex
+    int state = QUEUED;
+    uint64_t seq = 0;
+    std::string index;
+    uint32_t bucket = 0, out_bucket = 0;
+    std::vector<uint32_t> row;  // bucket + 4 words
+    Clock::time_point deadline;  // time_point::max() = no deadline
+    // response (filled by complete/fail):
+    int32_t status = 200;
+    std::string err;                // non-empty => error response `name`
+    std::vector<uint32_t> out;      // 2*out_len + 4 packed output words
+};
+
+struct Group {
+    std::deque<Req*> q;
+};
+
+struct Server {
+    int listen_fd = -1;
+    uint16_t port = 0;
+    std::atomic<bool> stopping{false};
+    std::thread accept_thread;
+    std::mutex mu;                   // guards groups, req states, counters
+    std::condition_variable pump_cv; // wakes front_next waiters
+    std::map<std::string, Group> groups;
+    uint64_t next_seq = 1;
+    std::atomic<int64_t> conns{0};
+    std::atomic<int64_t> accepted{0};   // search requests enqueued
+    std::atomic<int64_t> responded{0};  // search responses written
+    std::atomic<int64_t> timeouts{0};   // SearchTimeout responses
+    std::atomic<int64_t> errors{0};     // non-timeout error responses
+    int64_t max_conns = 512;
+};
+
+// ---------------------------------------------------------------- parsing
+
+struct Body {
+    std::vector<uint32_t> query;
+    bool bad = false;            // malformed / wrong types -> 400
+    bool have_min_score = false;
+    int64_t timeout = DEFAULT_TIMEOUT_MS;
+    int64_t limit = DEFAULT_LIMIT;
+    int64_t min_score = 0;
+    int64_t score_pct = 10;
+    bool have_query = false;
+};
+
+// --- minimal JSON parser (objects of numbers / number arrays; skips the
+// rest).  Mirrors what json.loads accepts for the search request shape.
+struct JsonParser {
+    const char* p;
+    const char* end;
+    bool ok = true;
+
+    void ws() {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+    }
+    bool lit(const char* s) {
+        size_t n = strlen(s);
+        if (static_cast<size_t>(end - p) < n || memcmp(p, s, n) != 0) return false;
+        p += n;
+        return true;
+    }
+    // Parses a number; integer-valued => *is_int = true and *iv set.
+    bool number(bool* is_int, int64_t* iv, double* dv) {
+        const char* s = p;
+        if (p < end && *p == '-') p++;
+        while (p < end && *p >= '0' && *p <= '9') p++;
+        bool frac = false;
+        if (p < end && (*p == '.' || *p == 'e' || *p == 'E')) {
+            frac = true;
+            while (p < end && (strchr("0123456789.eE+-", *p) != nullptr)) p++;
+        }
+        if (p == s) return false;
+        std::string tok(s, p - s);
+        if (!frac) {
+            errno = 0;
+            long long v = strtoll(tok.c_str(), nullptr, 10);
+            *is_int = true;
+            *iv = v;
+            *dv = static_cast<double>(v);
+        } else {
+            *is_int = false;
+            *dv = strtod(tok.c_str(), nullptr);
+            *iv = static_cast<int64_t>(*dv);
+        }
+        return true;
+    }
+    bool string(std::string* out) {
+        if (p >= end || *p != '"') return false;
+        p++;
+        out->clear();
+        while (p < end && *p != '"') {
+            if (*p == '\\') {
+                p++;
+                if (p >= end) return false;
+                switch (*p) {
+                    case 'n': out->push_back('\n'); break;
+                    case 't': out->push_back('\t'); break;
+                    case 'r': out->push_back('\r'); break;
+                    case 'b': out->push_back('\b'); break;
+                    case 'f': out->push_back('\f'); break;
+                    case 'u':
+                        // \uXXXX: only needed for skipped string values.
+                        if (end - p < 5) return false;
+                        p += 4;
+                        out->push_back('?');
+                        break;
+                    default: out->push_back(*p);
+                }
+            } else {
+                out->push_back(*p);
+            }
+            p++;
+        }
+        if (p >= end) return false;
+        p++;  // closing quote
+        return true;
+    }
+    bool skip_value() {
+        ws();
+        if (p >= end) return false;
+        char c = *p;
+        if (c == '"') {
+            std::string s;
+            return string(&s);
+        }
+        if (c == '{') {
+            p++;
+            ws();
+            if (p < end && *p == '}') { p++; return true; }
+            while (true) {
+                ws();
+                std::string k;
+                if (!string(&k)) return false;
+                ws();
+                if (p >= end || *p != ':') return false;
+                p++;
+                if (!skip_value()) return false;
+                ws();
+                if (p < end && *p == ',') { p++; continue; }
+                if (p < end && *p == '}') { p++; return true; }
+                return false;
+            }
+        }
+        if (c == '[') {
+            p++;
+            ws();
+            if (p < end && *p == ']') { p++; return true; }
+            while (true) {
+                if (!skip_value()) return false;
+                ws();
+                if (p < end && *p == ',') { p++; continue; }
+                if (p < end && *p == ']') { p++; return true; }
+                return false;
+            }
+        }
+        if (lit("true") || lit("false") || lit("null")) return true;
+        bool ii; int64_t iv; double dv;
+        return number(&ii, &iv, &dv);
+    }
+};
+
+bool parse_json_body(const char* data, size_t len, Body* b) {
+    JsonParser j{data, data + len};
+    j.ws();
+    if (j.p >= j.end || *j.p != '{') return false;
+    j.p++;
+    j.ws();
+    if (j.p < j.end && *j.p == '}') return true;
+    while (true) {
+        j.ws();
+        std::string key;
+        if (!j.string(&key)) return false;
+        j.ws();
+        if (j.p >= j.end || *j.p != ':') return false;
+        j.p++;
+        j.ws();
+        if (key == "query" || key == "q") {
+            if (j.p >= j.end || *j.p != '[') return false;
+            j.p++;
+            b->have_query = true;
+            j.ws();
+            if (j.p < j.end && *j.p == ']') {
+                j.p++;
+            } else {
+                while (true) {
+                    j.ws();
+                    bool ii; int64_t iv; double dv;
+                    // bools/strings/floats in the query -> 400 (api.py
+                    // decode_search_request rejects non-int hashes).
+                    if (j.p < j.end && (*j.p == 't' || *j.p == 'f' || *j.p == 'n' ||
+                                        *j.p == '"')) {
+                        b->bad = true;
+                        if (!j.skip_value()) return false;
+                    } else if (j.number(&ii, &iv, &dv)) {
+                        if (!ii || iv < 0 || iv > 0xFFFFFFFFLL) b->bad = true;
+                        else b->query.push_back(static_cast<uint32_t>(iv));
+                    } else {
+                        return false;
+                    }
+                    j.ws();
+                    if (j.p < j.end && *j.p == ',') { j.p++; continue; }
+                    if (j.p < j.end && *j.p == ']') { j.p++; break; }
+                    return false;
+                }
+            }
+        } else if (key == "timeout" || key == "t" || key == "limit" || key == "l" ||
+                   key == "min_score" || key == "m" || key == "score_pct" ||
+                   key == "s") {
+            if (j.lit("null")) {
+                // null min_score = derive; null elsewhere -> 400 (int(None)).
+                if (!(key == "min_score" || key == "m")) b->bad = true;
+            } else {
+                bool ii; int64_t iv; double dv;
+                if (j.p < j.end && (*j.p == 't' || *j.p == 'f')) {
+                    // bool: int(True) == 1 in the Python path.
+                    iv = j.lit("true") ? 1 : (j.lit("false") ? 0 : (b->bad = true, 0));
+                } else if (!j.number(&ii, &iv, &dv)) {
+                    b->bad = true;  // e.g. string: int("x") -> 400
+                    if (!j.skip_value()) return false;
+                    iv = 0;
+                }
+                if (key == "timeout" || key == "t") b->timeout = iv;
+                else if (key == "limit" || key == "l") b->limit = iv;
+                else if (key == "score_pct" || key == "s") b->score_pct = iv;
+                else { b->min_score = iv; b->have_min_score = true; }
+            }
+        } else {
+            if (!j.skip_value()) return false;
+        }
+        j.ws();
+        if (j.p < j.end && *j.p == ',') { j.p++; continue; }
+        if (j.p < j.end && *j.p == '}') { j.p++; break; }
+        return false;
+    }
+    return true;
+}
+
+// --- minimal msgpack parser for the same request shape.
+struct MpParser {
+    const uint8_t* p;
+    const uint8_t* end;
+
+    bool u8(uint8_t* v) { if (p >= end) return false; *v = *p++; return true; }
+    bool big(int n, uint64_t* v) {
+        if (end - p < n) return false;
+        uint64_t r = 0;
+        for (int i = 0; i < n; i++) r = (r << 8) | *p++;
+        *v = r;
+        return true;
+    }
+    // Reads any int-family value. kind: 0=int, 1=float, 2=bool, 3=nil, -1=other.
+    bool value_head(uint8_t* tag) { if (p >= end) return false; *tag = *p; return true; }
+    bool read_int(int64_t* out, int* kind) {
+        uint8_t t;
+        if (!u8(&t)) return false;
+        *kind = 0;
+        if (t <= 0x7f) { *out = t; return true; }
+        if (t >= 0xe0) { *out = static_cast<int8_t>(t); return true; }
+        uint64_t v;
+        switch (t) {
+            case 0xcc: if (!big(1, &v)) return false; *out = static_cast<int64_t>(v); return true;
+            case 0xcd: if (!big(2, &v)) return false; *out = static_cast<int64_t>(v); return true;
+            case 0xce: if (!big(4, &v)) return false; *out = static_cast<int64_t>(v); return true;
+            case 0xcf: if (!big(8, &v)) return false; *out = static_cast<int64_t>(v); return true;
+            case 0xd0: if (!big(1, &v)) return false; *out = static_cast<int8_t>(v); return true;
+            case 0xd1: if (!big(2, &v)) return false; *out = static_cast<int16_t>(v); return true;
+            case 0xd2: if (!big(4, &v)) return false; *out = static_cast<int32_t>(v); return true;
+            case 0xd3: if (!big(8, &v)) return false; *out = static_cast<int64_t>(v); return true;
+            case 0xc0: *kind = 3; *out = 0; return true;  // nil
+            case 0xc2: *kind = 2; *out = 0; return true;  // false
+            case 0xc3: *kind = 2; *out = 1; return true;  // true
+            case 0xca: if (!big(4, &v)) return false; { float f; uint32_t u = static_cast<uint32_t>(v); memcpy(&f, &u, 4); *kind = 1; *out = static_cast<int64_t>(f); } return true;
+            case 0xcb: if (!big(8, &v)) return false; { double d; memcpy(&d, &v, 8); *kind = 1; *out = static_cast<int64_t>(d); } return true;
+            default: *kind = -1; p--; return true;  // not an int family value
+        }
+    }
+    bool read_str(std::string* s) {
+        uint8_t t;
+        if (!u8(&t)) return false;
+        uint64_t n;
+        if ((t & 0xe0) == 0xa0) n = t & 0x1f;
+        else if (t == 0xd9) { if (!big(1, &n)) return false; }
+        else if (t == 0xda) { if (!big(2, &n)) return false; }
+        else if (t == 0xdb) { if (!big(4, &n)) return false; }
+        else return false;
+        if (static_cast<uint64_t>(end - p) < n) return false;
+        s->assign(reinterpret_cast<const char*>(p), n);
+        p += n;
+        return true;
+    }
+    bool read_array_len(uint64_t* n) {
+        uint8_t t;
+        if (!u8(&t)) return false;
+        if ((t & 0xf0) == 0x90) { *n = t & 0x0f; return true; }
+        if (t == 0xdc) return big(2, n);
+        if (t == 0xdd) return big(4, n);
+        return false;
+    }
+    bool read_map_len(uint64_t* n) {
+        uint8_t t;
+        if (!u8(&t)) return false;
+        if ((t & 0xf0) == 0x80) { *n = t & 0x0f; return true; }
+        if (t == 0xde) return big(2, n);
+        if (t == 0xdf) return big(4, n);
+        return false;
+    }
+    bool skip_value() {
+        uint8_t t;
+        if (!u8(&t)) return false;
+        uint64_t n;
+        if (t <= 0x7f || t >= 0xe0 || t == 0xc0 || t == 0xc2 || t == 0xc3) return true;
+        if ((t & 0xe0) == 0xa0) { n = t & 0x1f; if (static_cast<uint64_t>(end - p) < n) return false; p += n; return true; }
+        if ((t & 0xf0) == 0x90) { n = t & 0x0f; for (uint64_t i = 0; i < n; i++) if (!skip_value()) return false; return true; }
+        if ((t & 0xf0) == 0x80) { n = t & 0x0f; for (uint64_t i = 0; i < 2 * n; i++) if (!skip_value()) return false; return true; }
+        switch (t) {
+            case 0xcc: case 0xd0: p += 1; return p <= end;
+            case 0xcd: case 0xd1: p += 2; return p <= end;
+            case 0xce: case 0xd2: case 0xca: p += 4; return p <= end;
+            case 0xcf: case 0xd3: case 0xcb: p += 8; return p <= end;
+            case 0xd9: if (!big(1, &n)) return false; p += n; return p <= end;
+            case 0xda: if (!big(2, &n)) return false; p += n; return p <= end;
+            case 0xdb: if (!big(4, &n)) return false; p += n; return p <= end;
+            case 0xc4: if (!big(1, &n)) return false; p += n; return p <= end;
+            case 0xc5: if (!big(2, &n)) return false; p += n; return p <= end;
+            case 0xc6: if (!big(4, &n)) return false; p += n; return p <= end;
+            case 0xdc: if (!big(2, &n)) return false; for (uint64_t i = 0; i < n; i++) if (!skip_value()) return false; return true;
+            case 0xdd: if (!big(4, &n)) return false; for (uint64_t i = 0; i < n; i++) if (!skip_value()) return false; return true;
+            case 0xde: if (!big(2, &n)) return false; for (uint64_t i = 0; i < 2 * n; i++) if (!skip_value()) return false; return true;
+            case 0xdf: if (!big(4, &n)) return false; for (uint64_t i = 0; i < 2 * n; i++) if (!skip_value()) return false; return true;
+            default: return false;
+        }
+    }
+};
+
+bool parse_msgpack_body(const uint8_t* data, size_t len, Body* b) {
+    MpParser m{data, data + len};
+    uint64_t nkeys;
+    if (!m.read_map_len(&nkeys)) return false;
+    for (uint64_t i = 0; i < nkeys; i++) {
+        std::string key;
+        if (!m.read_str(&key)) {
+            // non-string key: skip key and value (strict_map_key=False).
+            if (!m.skip_value() || !m.skip_value()) return false;
+            continue;
+        }
+        if (key == "query" || key == "q") {
+            uint64_t n;
+            if (!m.read_array_len(&n)) {
+                b->bad = true;  // query present but not a list -> 400
+                if (!m.skip_value()) return false;
+                continue;
+            }
+            b->have_query = true;
+            for (uint64_t k = 0; k < n; k++) {
+                int64_t v; int kind;
+                if (!m.read_int(&v, &kind)) return false;
+                if (kind == -1) { if (!m.skip_value()) return false; b->bad = true; continue; }
+                if (kind != 0 || v < 0 || v > 0xFFFFFFFFLL) b->bad = true;
+                else b->query.push_back(static_cast<uint32_t>(v));
+            }
+        } else if (key == "timeout" || key == "t" || key == "limit" || key == "l" ||
+                   key == "min_score" || key == "m" || key == "score_pct" ||
+                   key == "s") {
+            int64_t v; int kind;
+            if (!m.read_int(&v, &kind)) return false;
+            if (kind == -1) { if (!m.skip_value()) return false; b->bad = true; continue; }
+            if (kind == 3) {  // nil
+                if (!(key == "min_score" || key == "m")) b->bad = true;
+                continue;
+            }
+            if (key == "timeout" || key == "t") b->timeout = v;
+            else if (key == "limit" || key == "l") b->limit = v;
+            else if (key == "score_pct" || key == "s") b->score_pct = v;
+            else { b->min_score = v; b->have_min_score = true; }
+        } else {
+            if (!m.skip_value()) return false;
+        }
+    }
+    return true;
+}
+
+// ------------------------------------------------------------- encoding
+
+void mp_uint(std::string* out, uint64_t v) {
+    if (v <= 0x7f) { out->push_back(static_cast<char>(v)); return; }
+    if (v <= 0xff) { out->push_back(static_cast<char>(0xcc)); out->push_back(static_cast<char>(v)); return; }
+    if (v <= 0xffff) {
+        out->push_back(static_cast<char>(0xcd));
+        out->push_back(static_cast<char>(v >> 8));
+        out->push_back(static_cast<char>(v & 0xff));
+        return;
+    }
+    out->push_back(static_cast<char>(0xce));
+    for (int s = 24; s >= 0; s -= 8) out->push_back(static_cast<char>((v >> s) & 0xff));
+}
+
+void mp_fixstr(std::string* out, const char* s) {
+    size_t n = strlen(s);
+    out->push_back(static_cast<char>(0xa0 | n));
+    out->append(s, n);
+}
+
+void mp_array_len(std::string* out, uint64_t n) {
+    if (n <= 15) { out->push_back(static_cast<char>(0x90 | n)); return; }
+    if (n <= 0xffff) {
+        out->push_back(static_cast<char>(0xdc));
+        out->push_back(static_cast<char>(n >> 8));
+        out->push_back(static_cast<char>(n & 0xff));
+        return;
+    }
+    out->push_back(static_cast<char>(0xdd));
+    for (int s = 24; s >= 0; s -= 8) out->push_back(static_cast<char>((n >> s) & 0xff));
+}
+
+// Search results -> body bytes, matching api.encode_search_response +
+// encode_body (json.dumps default separators; msgpack short keys).
+std::string encode_results(const uint32_t* ids, const uint32_t* scores,
+                           uint32_t count, bool is_msgpack) {
+    std::string out;
+    if (is_msgpack) {
+        out.push_back(static_cast<char>(0x81));
+        mp_fixstr(&out, "r");
+        mp_array_len(&out, count);
+        for (uint32_t i = 0; i < count; i++) {
+            out.push_back(static_cast<char>(0x82));
+            mp_fixstr(&out, "i");
+            mp_uint(&out, ids[i]);
+            mp_fixstr(&out, "s");
+            mp_uint(&out, scores[i]);
+        }
+        return out;
+    }
+    out = "{\"results\": [";
+    char buf[64];
+    for (uint32_t i = 0; i < count; i++) {
+        snprintf(buf, sizeof(buf), "%s{\"id\": %u, \"score\": %u}",
+                 i ? ", " : "", ids[i], scores[i]);
+        out += buf;
+    }
+    out += "]}";
+    return out;
+}
+
+std::string encode_error_body(const std::string& name, bool is_msgpack) {
+    std::string out;
+    if (is_msgpack) {
+        out.push_back(static_cast<char>(0x81));
+        mp_fixstr(&out, "e");
+        out.push_back(static_cast<char>(0xa0 | name.size()));
+        out += name;
+        return out;
+    }
+    return "{\"error\": \"" + name + "\"}";
+}
+
+const char* status_text(int code) {
+    switch (code) {
+        case 200: return "OK";
+        case 400: return "Bad Request";
+        case 403: return "Forbidden";
+        case 404: return "Not Found";
+        case 405: return "Method Not Allowed";
+        case 409: return "Conflict";
+        case 410: return "Gone";
+        case 413: return "Payload Too Large";
+        case 415: return "Unsupported Media Type";
+        case 500: return "Internal Server Error";
+        case 501: return "Not Implemented";
+        case 503: return "Service Unavailable";
+        default: return "";
+    }
+}
+
+// ------------------------------------------------------------ connection
+
+bool read_line(int fd, std::string* line, std::string* buf) {
+    // Pulls from buf/socket until CRLF; line excludes the CRLF.
+    while (true) {
+        size_t nl = buf->find('\n');
+        if (nl != std::string::npos) {
+            size_t n = nl;
+            if (n > 0 && (*buf)[n - 1] == '\r') n--;
+            line->assign(*buf, 0, n);
+            buf->erase(0, nl + 1);
+            return true;
+        }
+        char tmp[4096];
+        ssize_t r = recv(fd, tmp, sizeof(tmp), 0);
+        if (r <= 0) return false;
+        buf->append(tmp, r);
+        if (buf->size() > static_cast<size_t>(MAX_BODY)) return false;
+    }
+}
+
+bool read_n(int fd, std::string* out, size_t n, std::string* buf) {
+    while (buf->size() < n) {
+        char tmp[65536];
+        ssize_t r = recv(fd, tmp, sizeof(tmp), 0);
+        if (r <= 0) return false;
+        buf->append(tmp, r);
+    }
+    out->assign(*buf, 0, n);
+    buf->erase(0, n);
+    return true;
+}
+
+bool send_all(int fd, const char* data, size_t n) {
+    while (n > 0) {
+        ssize_t w = send(fd, data, n, MSG_NOSIGNAL);
+        if (w <= 0) return false;
+        data += w;
+        n -= static_cast<size_t>(w);
+    }
+    return true;
+}
+
+bool write_response(int fd, int status, const char* content_type,
+                    const std::string& body, bool keep_alive) {
+    char head[256];
+    int n = snprintf(head, sizeof(head),
+                     "HTTP/1.1 %d %s\r\nContent-Type: %s\r\n"
+                     "Content-Length: %zu\r\nConnection: %s\r\n\r\n",
+                     status, status_text(status), content_type, body.size(),
+                     keep_alive ? "keep-alive" : "close");
+    if (!send_all(fd, head, n)) return false;
+    return send_all(fd, body.data(), body.size());
+}
+
+std::string lower(std::string s) {
+    for (char& c : s) c = static_cast<char>(tolower(static_cast<unsigned char>(c)));
+    return s;
+}
+
+// Content types, mirroring app.py request_type/response_type.
+enum Ct { CT_NONE, CT_JSON, CT_MSGPACK, CT_OTHER };
+
+Ct classify_ct(const std::string& header_value) {
+    std::string base = lower(header_value.substr(0, header_value.find(';')));
+    // trim
+    size_t a = base.find_first_not_of(" \t");
+    size_t z = base.find_last_not_of(" \t");
+    if (a == std::string::npos) return CT_NONE;
+    base = base.substr(a, z - a + 1);
+    if (base == "application/json") return CT_JSON;
+    if (base == "application/vnd.msgpack" || base == "application/msgpack" ||
+        base == "application/x-msgpack")
+        return CT_MSGPACK;
+    return CT_OTHER;
+}
+
+void conn_loop(Server* srv, int fd) {
+    int one = 1;
+    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    std::string buf;
+    bool dead = false;
+    while (!dead && !srv->stopping.load(std::memory_order_relaxed)) {
+        std::string line;
+        if (!read_line(fd, &line, &buf)) break;
+        if (line.empty()) continue;
+        // Request line.
+        size_t sp1 = line.find(' ');
+        size_t sp2 = line.rfind(' ');
+        if (sp1 == std::string::npos || sp2 == sp1) break;
+        std::string method = line.substr(0, sp1);
+        std::string path = line.substr(sp1 + 1, sp2 - sp1 - 1);
+        bool http10 = line.compare(sp2 + 1, std::string::npos, "HTTP/1.0") == 0;
+        size_t qpos = path.find('?');
+        if (qpos != std::string::npos) path.resize(qpos);
+        // Headers.
+        int64_t content_length = 0;
+        std::string ct_header, accept_header, conn_header;
+        while (true) {
+            std::string h;
+            if (!read_line(fd, &h, &buf)) { dead = true; break; }
+            if (h.empty()) break;
+            size_t c = h.find(':');
+            if (c == std::string::npos) continue;
+            std::string k = lower(h.substr(0, c));
+            size_t v0 = h.find_first_not_of(" \t", c + 1);
+            std::string v = v0 == std::string::npos ? "" : h.substr(v0);
+            if (k == "content-length") content_length = atoll(v.c_str());
+            else if (k == "content-type") ct_header = v;
+            else if (k == "accept") accept_header = v;
+            else if (k == "connection") conn_header = lower(v);
+        }
+        if (dead) break;
+        bool keep_alive = conn_header == "keep-alive" || (!http10 && conn_header != "close");
+        if (content_length < 0 || content_length > MAX_BODY) {
+            write_response(fd, 413, "application/json",
+                           encode_error_body("BadRequest", false), false);
+            break;
+        }
+        std::string body;
+        if (content_length > 0 &&
+            !read_n(fd, &body, static_cast<size_t>(content_length), &buf))
+            break;
+
+        // Negotiation (app.py request_type/response_type).
+        Ct req_ct = ct_header.empty() ? CT_NONE : classify_ct(ct_header);
+        if (req_ct == CT_NONE) req_ct = body.empty() ? CT_JSON : CT_MSGPACK;
+        Ct acc = accept_header.empty() ? CT_NONE : classify_ct(accept_header);
+        Ct resp_ct = (acc == CT_JSON || acc == CT_MSGPACK)
+                         ? acc
+                         : (req_ct == CT_OTHER ? CT_JSON : req_ct);
+        bool resp_mp = resp_ct == CT_MSGPACK;
+        const char* resp_ct_s =
+            resp_mp ? "application/vnd.msgpack" : "application/json";
+
+        // Routes.
+        if (path == "/_health") {
+            if (!write_response(fd, 200, "text/plain", "OK\n", keep_alive)) break;
+            if (!keep_alive) break;
+            continue;
+        }
+        std::string index;
+        bool is_search = false;
+        {
+            const std::string suffix = "/_search";
+            if (method == "POST" && path.size() > suffix.size() + 1 &&
+                path[0] == '/' &&
+                path.compare(path.size() - suffix.size(), suffix.size(), suffix) == 0) {
+                index = path.substr(1, path.size() - suffix.size() - 1);
+                is_search = !index.empty() && index.find('/') == std::string::npos;
+            }
+        }
+        if (!is_search) {
+            srv->errors.fetch_add(1);
+            if (!write_response(fd, 404, resp_ct_s,
+                                encode_error_body("IndexNotFound", resp_mp),
+                                keep_alive))
+                break;
+            if (!keep_alive) break;
+            continue;
+        }
+
+        // Body decode.
+        Body b;
+        bool parsed;
+        if (req_ct == CT_OTHER) {
+            srv->errors.fetch_add(1);
+            if (!write_response(fd, 415, resp_ct_s,
+                                encode_error_body("UnsupportedMediaType", resp_mp),
+                                keep_alive))
+                break;
+            if (!keep_alive) break;
+            continue;
+        }
+        if (body.empty()) {
+            srv->errors.fetch_add(1);
+            if (!write_response(fd, 400, resp_ct_s,
+                                encode_error_body("BadRequest", resp_mp), keep_alive))
+                break;
+            if (!keep_alive) break;
+            continue;
+        }
+        if (req_ct == CT_JSON)
+            parsed = parse_json_body(body.data(), body.size(), &b);
+        else
+            parsed = parse_msgpack_body(
+                reinterpret_cast<const uint8_t*>(body.data()), body.size(), &b);
+        if (!parsed || b.bad || !b.have_query) {
+            srv->errors.fetch_add(1);
+            if (!write_response(fd, 400, resp_ct_s,
+                                encode_error_body("BadRequest", resp_mp), keep_alive))
+                break;
+            if (!keep_alive) break;
+            continue;
+        }
+
+        // Sanitize (app.py handle_search) + derive min_score
+        // (multi_index.py: ceil(|raw query|/20) when unspecified).
+        int64_t raw_len = static_cast<int64_t>(b.query.size());
+        int64_t limit = std::max(std::min(b.limit, MAX_LIMIT), int64_t{1});
+        int64_t timeout_ms = std::min(b.timeout, MAX_TIMEOUT_MS);
+        int64_t min_score =
+            b.have_min_score ? std::max(b.min_score, int64_t{0}) : (raw_len + 19) / 20;
+        int64_t pct = std::max(std::min(b.score_pct, int64_t{100}), int64_t{0});
+
+        // Query prep (searcher.prepare_query): sort + dedup + cap.
+        std::sort(b.query.begin(), b.query.end());
+        b.query.erase(std::unique(b.query.begin(), b.query.end()), b.query.end());
+        if (b.query.size() > MAX_QUERY_HASHES) b.query.resize(MAX_QUERY_HASHES);
+        uint32_t q_len = static_cast<uint32_t>(b.query.size());
+
+        if (q_len == 0) {
+            srv->responded.fetch_add(1);
+            if (!write_response(fd, 200, resp_ct_s,
+                                encode_results(nullptr, nullptr, 0, resp_mp),
+                                keep_alive))
+                break;
+            if (!keep_alive) break;
+            continue;
+        }
+
+        uint32_t bucket = QUERY_BUCKETS[4];
+        for (uint32_t cand : QUERY_BUCKETS)
+            if (cand >= q_len) { bucket = cand; break; }
+        uint32_t out_bucket = limit <= 128 ? 128 : 512;
+
+        Req req;
+        req.index = index;
+        req.bucket = bucket;
+        req.out_bucket = out_bucket;
+        req.row.assign(bucket + 4, 0);
+        memcpy(req.row.data(), b.query.data(), q_len * 4);
+        req.row[bucket] = q_len;
+        req.row[bucket + 1] = static_cast<uint32_t>(limit);
+        req.row[bucket + 2] = static_cast<uint32_t>(min_score);
+        req.row[bucket + 3] = static_cast<uint32_t>(pct);
+        req.deadline = timeout_ms > 0 ? Clock::now() + std::chrono::milliseconds(timeout_ms)
+                                      : Clock::time_point::max();
+
+        std::string gkey = index;
+        gkey.push_back('\0');
+        gkey += std::to_string(bucket) + ":" + std::to_string(out_bucket);
+
+        {
+            std::unique_lock<std::mutex> lk(srv->mu);
+            req.seq = srv->next_seq++;
+            srv->groups[gkey].q.push_back(&req);
+            srv->accepted.fetch_add(1);
+            srv->pump_cv.notify_one();
+            // Wait for completion; on deadline while still QUEUED, remove
+            // ourselves and answer SearchTimeout (the pump never saw us).
+            while (req.state == QUEUED || req.state == CLAIMED) {
+                if (req.deadline == Clock::time_point::max()) {
+                    req.cv.wait(lk);
+                } else if (req.state == QUEUED) {
+                    if (req.cv.wait_until(lk, req.deadline) == std::cv_status::timeout &&
+                        req.state == QUEUED) {
+                        auto& dq = srv->groups[gkey].q;
+                        dq.erase(std::remove(dq.begin(), dq.end(), &req), dq.end());
+                        req.state = TIMEDOUT;
+                        break;
+                    }
+                } else {
+                    // CLAIMED: the pump owns the token; it will complete or
+                    // fail it (possibly after our deadline — checked below).
+                    req.cv.wait(lk);
+                }
+            }
+        }
+
+        bool ok;
+        if (req.state == TIMEDOUT ||
+            (req.err.empty() && req.deadline != Clock::time_point::max() &&
+             Clock::now() > req.deadline)) {
+            // Queued past the deadline, or the batch landed late: never
+            // serve results after the timeout (searcher _collect_loop).
+            srv->timeouts.fetch_add(1);
+            ok = write_response(fd, 503, resp_ct_s,
+                                encode_error_body("SearchTimeout", resp_mp),
+                                keep_alive);
+        } else if (!req.err.empty()) {
+            srv->errors.fetch_add(1);
+            ok = write_response(fd, req.status, resp_ct_s,
+                                encode_error_body(req.err, resp_mp), keep_alive);
+        } else {
+            uint32_t out_len = req.out_bucket;
+            uint32_t count = req.out[2 * out_len];
+            if (count > out_len) count = out_len;
+            srv->responded.fetch_add(1);
+            ok = write_response(fd, 200, resp_ct_s,
+                                encode_results(req.out.data(),
+                                               req.out.data() + out_len, count,
+                                               resp_mp),
+                                keep_alive);
+        }
+        if (!ok || !keep_alive) break;
+    }
+    close(fd);
+    srv->conns.fetch_add(-1);
+}
+
+void accept_loop(Server* srv) {
+    while (!srv->stopping.load(std::memory_order_relaxed)) {
+        sockaddr_in peer{};
+        socklen_t plen = sizeof(peer);
+        int fd = accept(srv->listen_fd, reinterpret_cast<sockaddr*>(&peer), &plen);
+        if (fd < 0) {
+            if (srv->stopping.load(std::memory_order_relaxed)) return;
+            continue;
+        }
+        if (srv->conns.load() >= srv->max_conns) {
+            const char* msg =
+                "HTTP/1.1 503 Service Unavailable\r\nContent-Length: 0\r\n"
+                "Connection: close\r\n\r\n";
+            send_all(fd, msg, strlen(msg));
+            close(fd);
+            continue;
+        }
+        srv->conns.fetch_add(1);
+        std::thread(conn_loop, srv, fd).detach();
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Starts the front end on `port`. Returns an opaque handle (>0) or -1.
+int64_t aitpu_front_start(int32_t port, int32_t max_conns) {
+    auto* srv = new Server();
+    srv->max_conns = max_conns > 0 ? max_conns : 512;
+    srv->listen_fd = socket(AF_INET, SOCK_STREAM, 0);
+    if (srv->listen_fd < 0) { delete srv; return -1; }
+    int one = 1;
+    setsockopt(srv->listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    if (bind(srv->listen_fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
+        listen(srv->listen_fd, 1024) != 0) {
+        close(srv->listen_fd);
+        delete srv;
+        return -1;
+    }
+    sockaddr_in bound{};
+    socklen_t blen = sizeof(bound);
+    getsockname(srv->listen_fd, reinterpret_cast<sockaddr*>(&bound), &blen);
+    srv->port = ntohs(bound.sin_port);  // resolves port 0 to the real port
+    srv->accept_thread = std::thread(accept_loop, srv);
+    return reinterpret_cast<int64_t>(srv);
+}
+
+// Claims up to max_rows queued requests of ONE (index, bucket, out_bucket)
+// group — the group with the oldest head request.  Blocks up to timeout_ms.
+// Fills: name_buf (<=256 bytes, returns length in meta[2]), meta[0]=bucket,
+// meta[1]=out_bucket, rows (n * (bucket+4) u32), tokens (u64 each).
+// Returns n, 0 on timeout, -1 when stopping.
+int64_t aitpu_front_next(int64_t handle, uint8_t* name_buf, uint32_t* meta,
+                         uint32_t* rows, uint64_t* tokens, int64_t max_rows,
+                         int64_t timeout_ms) {
+    auto* srv = reinterpret_cast<Server*>(handle);
+    std::unique_lock<std::mutex> lk(srv->mu);
+    auto deadline = Clock::now() + std::chrono::milliseconds(timeout_ms);
+    while (true) {
+        if (srv->stopping.load(std::memory_order_relaxed)) return -1;
+        // Oldest-head group first (FIFO across groups).
+        std::string best;
+        uint64_t best_seq = UINT64_MAX;
+        for (auto& kv : srv->groups) {
+            if (!kv.second.q.empty() && kv.second.q.front()->seq < best_seq) {
+                best_seq = kv.second.q.front()->seq;
+                best = kv.first;
+            }
+        }
+        if (best_seq != UINT64_MAX) {
+            auto& dq = srv->groups[best].q;
+            int64_t n = 0;
+            uint32_t bucket = dq.front()->bucket;
+            uint32_t words = bucket + 4;
+            size_t name_len = strlen(best.c_str());  // up to the '\0' marker
+            memcpy(name_buf, best.data(), std::min<size_t>(name_len, 255));
+            meta[0] = bucket;
+            meta[1] = dq.front()->out_bucket;
+            meta[2] = static_cast<uint32_t>(std::min<size_t>(name_len, 255));
+            while (n < max_rows && !dq.empty()) {
+                Req* r = dq.front();
+                dq.pop_front();
+                r->state = CLAIMED;
+                memcpy(rows + n * words, r->row.data(), words * 4);
+                tokens[n] = reinterpret_cast<uint64_t>(r);
+                n++;
+            }
+            return n;
+        }
+        if (srv->pump_cv.wait_until(lk, deadline) == std::cv_status::timeout)
+            return 0;
+    }
+}
+
+// Completes n claimed requests with packed output rows (out_words u32 per
+// request: ids | scores | count | postings_scanned | truncated | max_ph).
+int64_t aitpu_front_complete(int64_t handle, const uint64_t* tokens,
+                             const uint32_t* out_rows, int64_t n,
+                             int64_t out_words) {
+    auto* srv = reinterpret_cast<Server*>(handle);
+    std::lock_guard<std::mutex> lk(srv->mu);
+    for (int64_t i = 0; i < n; i++) {
+        Req* r = reinterpret_cast<Req*>(tokens[i]);
+        r->out.assign(out_rows + i * out_words, out_rows + (i + 1) * out_words);
+        r->state = DONE;
+        r->cv.notify_one();
+    }
+    return 0;
+}
+
+// Fails n claimed requests with an error name + HTTP status.
+int64_t aitpu_front_fail(int64_t handle, const uint64_t* tokens, int64_t n,
+                         int32_t status, const char* error_name) {
+    auto* srv = reinterpret_cast<Server*>(handle);
+    std::lock_guard<std::mutex> lk(srv->mu);
+    for (int64_t i = 0; i < n; i++) {
+        Req* r = reinterpret_cast<Req*>(tokens[i]);
+        r->status = status;
+        r->err = error_name;
+        r->state = DONE;
+        r->cv.notify_one();
+    }
+    return 0;
+}
+
+// which: 0=accepted, 1=responded, 2=timeouts, 3=errors, 4=open conns,
+// 5=bound port (resolves port-0 binds).
+int64_t aitpu_front_stat(int64_t handle, int32_t which) {
+    auto* srv = reinterpret_cast<Server*>(handle);
+    switch (which) {
+        case 0: return srv->accepted.load();
+        case 1: return srv->responded.load();
+        case 2: return srv->timeouts.load();
+        case 3: return srv->errors.load();
+        case 4: return srv->conns.load();
+        case 5: return srv->port;
+        default: return -1;
+    }
+}
+
+// Stops accepting, fails queued requests, waits for conns to drain (bounded).
+int64_t aitpu_front_stop(int64_t handle) {
+    auto* srv = reinterpret_cast<Server*>(handle);
+    srv->stopping.store(true);
+    shutdown(srv->listen_fd, SHUT_RDWR);
+    close(srv->listen_fd);
+    {
+        std::lock_guard<std::mutex> lk(srv->mu);
+        for (auto& kv : srv->groups) {
+            for (Req* r : kv.second.q) {
+                r->status = 503;
+                r->err = "IndexNotReady";
+                r->state = DONE;
+                r->cv.notify_one();
+            }
+            kv.second.q.clear();
+        }
+        srv->pump_cv.notify_all();
+    }
+    if (srv->accept_thread.joinable()) srv->accept_thread.join();
+    // Claimed requests still belong to the pump; give conns a moment.
+    for (int i = 0; i < 100 && srv->conns.load() > 0; i++)
+        std::this_thread::sleep_for(std::chrono::milliseconds(20));
+    // Leak srv if connections are wedged — safer than a use-after-free.
+    if (srv->conns.load() == 0) delete srv;
+    return 0;
+}
+
+}  // extern "C"

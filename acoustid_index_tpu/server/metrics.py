@@ -49,21 +49,21 @@ _postings = _Hist(POSTINGS_BUCKETS)
 _per_hash = _Hist(PER_HASH_BUCKETS)
 
 
-def _inc(metric: str, index: str):
+def _inc(metric: str, index: str, n: int = 1):
     with _lock:
-        _counters[(metric, index)] += 1
+        _counters[(metric, index)] += n
 
 
-def inc_searches(index: str):
-    _inc("searches", index)
+def inc_searches(index: str, n: int = 1):
+    _inc("searches", index, n)
 
 
-def inc_search_hit(index: str):
-    _inc("search_hits", index)
+def inc_search_hit(index: str, n: int = 1):
+    _inc("search_hits", index, n)
 
 
-def inc_search_miss(index: str):
-    _inc("search_misses", index)
+def inc_search_miss(index: str, n: int = 1):
+    _inc("search_misses", index, n)
 
 
 def inc_updates(index: str):
@@ -96,6 +96,28 @@ def observe_search_seconds(index: str, seconds: float):
 def observe_postings_scanned(n: int):
     with _lock:
         _postings.observe(n)
+
+
+def _observe_many(h: "_Hist", values) -> None:
+    # Vectorized bulk observe (numpy array of per-query values): one lock
+    # take per batch, used by the native front end's pump.
+    import numpy as np
+
+    vals = np.asarray(values)
+    h.total += int(vals.size)
+    h.sum += float(vals.sum())
+    for i, b in enumerate(h.buckets):
+        h.counts[i] += int(np.count_nonzero(vals <= b))
+
+
+def observe_postings_scanned_many(values) -> None:
+    with _lock:
+        _observe_many(_postings, values)
+
+
+def observe_max_postings_per_hash_many(values) -> None:
+    with _lock:
+        _observe_many(_per_hash, values)
 
 
 def observe_max_postings_per_hash(n: int):

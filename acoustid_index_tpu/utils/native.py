@@ -70,6 +70,58 @@ def available() -> bool:
     return _load() is not None
 
 
+_FRONT_SO = os.path.join(_NATIVE_DIR, "libaitpu_front.so")
+_front_lib = None
+_front_tried = False
+
+
+def front_lib():
+    """Loads the native search-plane front end (native/aitpu_front.cc),
+    building it on first use.  Returns None when no compiler is available —
+    unlike the codecs there is no pure-Python fallback (the Python HTTP
+    server IS the fallback); callers surface the absence as an error when
+    the operator explicitly asked for the native front."""
+    global _front_lib, _front_tried
+    with _lock:
+        if _front_tried:
+            return _front_lib
+        _front_tried = True
+        if not os.path.exists(_FRONT_SO):
+            try:
+                subprocess.run(
+                    ["make", "-s", "-C", _NATIVE_DIR, "libaitpu_front.so"],
+                    check=True,
+                    capture_output=True,
+                    timeout=300,
+                )
+            except (subprocess.SubprocessError, OSError) as exc:
+                log.warning("native front build failed (%s)", exc)
+                return None
+        try:
+            lib = ctypes.CDLL(_FRONT_SO)
+        except OSError as exc:
+            log.warning("native front load failed (%s)", exc)
+            return None
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.aitpu_front_start.restype = i64
+        lib.aitpu_front_start.argtypes = [i32, i32]
+        lib.aitpu_front_next.restype = i64
+        lib.aitpu_front_next.argtypes = [i64, u8p, u32p, u32p, u64p, i64, i64]
+        lib.aitpu_front_complete.restype = i64
+        lib.aitpu_front_complete.argtypes = [i64, u64p, u32p, i64, i64]
+        lib.aitpu_front_fail.restype = i64
+        lib.aitpu_front_fail.argtypes = [i64, u64p, i64, i32, ctypes.c_char_p]
+        lib.aitpu_front_stat.restype = i64
+        lib.aitpu_front_stat.argtypes = [i64, i32]
+        lib.aitpu_front_stop.restype = i64
+        lib.aitpu_front_stop.argtypes = [i64]
+        _front_lib = lib
+        return _front_lib
+
+
 def _u32p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
