@@ -775,4 +775,13 @@ def default_searcher() -> Searcher:
     with _default_lock:
         if _default_searcher is None:
             _default_searcher = BatchingSearcher()
+            # Drain the pipeline daemons (dispatch/precompile/collect) at
+            # interpreter exit: CPython kills daemon threads by pthread_exit
+            # at their next GIL acquisition, and a thread re-taking the GIL
+            # under jax's pybind11 frames gets force-unwound through C++
+            # catch blocks — a measured 'FATAL: exception not rethrown'
+            # abort whenever a background precompile was still in flight.
+            import atexit
+
+            atexit.register(_default_searcher.close)
         return _default_searcher

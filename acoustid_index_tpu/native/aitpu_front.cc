@@ -1014,8 +1014,12 @@ int64_t aitpu_front_stop(int64_t handle) {
     // Claimed requests still belong to the pump; give conns a moment.
     for (int i = 0; i < 100 && srv->conns.load() > 0; i++)
         std::this_thread::sleep_for(std::chrono::milliseconds(20));
-    // Leak srv if connections are wedged — safer than a use-after-free.
-    if (srv->conns.load() == 0) delete srv;
+    // srv is deliberately leaked: a pump thread may still be parked inside
+    // aitpu_front_next (pump_cv.wait_until) or about to call complete/fail
+    // for an in-flight batch, and there is no handshake that proves all
+    // callers have drained — freeing here was a measured use-after-free
+    // (corrupted-exception abort at exit).  One ~100KB Server per
+    // start/stop cycle, process-lifetime bounded.
     return 0;
 }
 

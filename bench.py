@@ -320,17 +320,22 @@ def device_qps_fori(jax, params, file_tier, mem_tier, pin_np, batch):
 
 def e2e_bench(jax):
     """The real serving path: Index.update bulk ingest -> device-merge
-    checkpoint -> concurrent searches through the BatchingSearcher."""
+    checkpoint -> concurrent searches through the BatchingSearcher.  Built
+    through a MultiIndex so the native C++ front end (which serves named
+    indexes) measures the same state in its own phase."""
     import tempfile
     import threading
 
-    from acoustid_index_tpu.engine.index import Index
     from acoustid_index_tpu.engine.model import Insert, SearchOptions
+    from acoustid_index_tpu.multi.multi_index import MultiIndex
 
     rng = np.random.default_rng(23)
     t_build = time.time()
     with tempfile.TemporaryDirectory() as tmp:
-        idx = Index.open(tmp, checkpoint_age=None, checkpoint_threshold=E2E_DOCS * HASHES_PER_DOC + 1, sync=False)  # fsync off: ingest speed; the measured phase is search
+        mi = MultiIndex.open(tmp, checkpoint_age=None, checkpoint_threshold=E2E_DOCS * HASHES_PER_DOC + 1, sync=False)  # fsync off: ingest speed; the measured phase is search
+        mi.create_index("main")
+        ref = mi._get_ref("main")
+        idx = ref.index
         try:
             step = 100_000
             for lo in range(1, E2E_DOCS + 1, step):
@@ -408,12 +413,106 @@ def e2e_bench(jax):
             open_loop = e2e_open_loop(idx, options, rng)
             log(
                 f"open-loop {open_loop['e2e_pipeline_qps']:.0f} qps; "
+                "measuring native-front phase"
+            )
+            native = e2e_native(mi, rng)
+            log(
+                f"native front {native.get('e2e_native_qps', 0):.0f} qps; "
                 "measuring mixed read/write phase"
             )
             rw = e2e_read_write(idx, options, rng)
-            return {**closed, **open_loop, **rw}
+            return {**closed, **open_loop, **native, **rw}
         finally:
-            idx.close()
+            mi._release_ref(ref)
+            mi.close()
+
+
+NATIVE_PUMPS = int(os.environ.get("AITPU_BENCH_NATIVE_PUMPS", 8))
+NATIVE_PROCS = int(os.environ.get("AITPU_BENCH_NATIVE_PROCS", 6))
+NATIVE_CONNS = int(os.environ.get("AITPU_BENCH_NATIVE_CONNS", 384))
+
+
+def e2e_native(mi, rng):
+    """Open-loop HTTP load through the native C++ front end: bytes on real
+    sockets -> aitpu_front batches -> device -> encoded responses.  Load
+    comes from separate bench_client.py PROCESSES (selectors over hundreds
+    of keep-alive connections each) so generation never shares the GIL with
+    the pumps; total in-flight = NATIVE_PROCS * NATIVE_CONNS."""
+    import subprocess
+    import tempfile
+
+    import msgpack
+
+    from acoustid_index_tpu.server.native_front import NativeFront
+    from acoustid_index_tpu.utils.native import front_lib
+
+    if front_lib() is None:
+        return {"e2e_native_error": "no C++ toolchain"}
+    front = NativeFront(mi, 0, pumps=NATIVE_PUMPS, max_conns=2 * NATIVE_PROCS * NATIVE_CONNS)
+    front.start()
+    blob_path = None
+    try:
+        # Pre-encoded request blobs (same query mix as e2e_open_loop) plus
+        # the expected first-result fragment the clients assert per response.
+        n_q = 8192
+        targets = rng.integers(1, E2E_DOCS + 1, n_q, dtype=np.uint32)
+        hs_all = doc_hashes(targets, HASHES_PER_DOC)
+        noise = rng.integers(0, 2**32, (n_q, NOISE_HASHES), dtype=np.uint32)
+        blobs = []
+        for i in range(n_q):
+            q = np.unique(np.concatenate([hs_all[i, :20], noise[i]])).tolist()
+            body = json.dumps(
+                {"query": q, "limit": 40, "min_score": 6, "score_pct": 10, "timeout": 10000}
+            ).encode()
+            req = (
+                b"POST /main/_search HTTP/1.1\r\nHost: b\r\n"
+                b"Content-Type: application/json\r\nContent-Length: %d\r\n\r\n%s"
+                % (len(body), body)
+            )
+            blobs.append((b'"results": [{"id": %d,' % int(targets[i]), req))
+        with tempfile.NamedTemporaryFile(suffix=".blobs", delete=False) as f:
+            blob_path = f.name
+            f.write(msgpack.packb(blobs))
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(repo, "bench_client.py"),
+                    "--port", str(front.port),
+                    "--seconds", str(E2E_SECONDS),
+                    "--conns", str(NATIVE_CONNS),
+                    "--blobs", blob_path,
+                    "--seed", str(100 + k),
+                ],
+                stdout=subprocess.PIPE,
+            )
+            for k in range(NATIVE_PROCS)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=E2E_SECONDS + 120)
+            if p.returncode != 0:
+                return {"e2e_native_error": f"client rc {p.returncode}"}
+            outs.append(json.loads(out))
+        total = sum(o["count"] for o in outs)
+        qps = sum(o["count"] / o["window_s"] for o in outs if o["window_s"] > 0)
+        p50s = [o["p50_ms"] for o in outs if o["p50_ms"] is not None]
+        p99s = [o["p99_ms"] for o in outs if o["p99_ms"] is not None]
+        return {
+            "e2e_native_qps": qps,
+            "e2e_native_queries": total,
+            "e2e_native_miss_rate": sum(o["miss"] for o in outs) / max(total, 1),
+            "e2e_native_inflight": NATIVE_PROCS * NATIVE_CONNS,
+            "e2e_native_pumps": NATIVE_PUMPS,
+            "e2e_native_p50_ms": float(np.mean(p50s)) if p50s else None,
+            "e2e_native_p99_ms": float(np.max(p99s)) if p99s else None,
+        }
+    finally:
+        front.stop()
+        if blob_path:
+            os.unlink(blob_path)
 
 
 def e2e_read_write(idx, options, rng):
@@ -614,6 +713,12 @@ def main():
             }
         )
     )
+    # The JSON line is the deliverable; don't let teardown of background
+    # compile/serving threads (or a slow tunnel disconnect) turn a completed
+    # bench into a nonzero exit.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
