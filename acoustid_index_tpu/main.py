@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--search-port",
         type=int,
         default=0,
-        help="Native C++ search-plane port (search-only fast path; 0 = off)",
+        help="Native C++ search-plane port (search-only fast path; 0 = off, -1 = auto-pick)",
     )
     p.add_argument("--load-concurrency", type=int, default=0, help="0 = unlimited")
     p.add_argument("--coordinator", action="store_true", help="Run as changelog coordinator")
@@ -130,9 +130,10 @@ def run_server(args) -> None:
     if args.search_port:
         from .server.native_front import NativeFront
 
-        native_front = NativeFront(mi, args.search_port)
+        native_front = NativeFront(mi, max(args.search_port, 0))  # -1 = bind port 0
         native_front.start()
-        logging.info("native search plane on 127.0.0.1:%d", args.search_port)
+        logging.info("native search plane on 127.0.0.1:%d", native_front.port)
+        print(f"SEARCHPLANE {native_front.port}", flush=True)  # port-0 binds resolve here
 
     stop = threading.Event()
 

@@ -137,7 +137,9 @@ struct JsonParser {
     bool number(bool* is_int, int64_t* iv, double* dv) {
         const char* s = p;
         if (p < end && *p == '-') p++;
+        const char* digits = p;
         while (p < end && *p >= '0' && *p <= '9') p++;
+        if (p == digits) { p = s; return false; }  // bare '-' is not a number
         bool frac = false;
         if (p < end && (*p == '.' || *p == 'e' || *p == 'E')) {
             frac = true;

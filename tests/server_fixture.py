@@ -48,9 +48,11 @@ class Server:
         self.extra_args = list(extra_args)
         self.proc = None
         self.port = None
+        self.search_port = None  # native search plane (--search-port)
         self.env_extra = env_extra or {}
 
     def start(self):
+        os.makedirs(self.data_dir, exist_ok=True)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         env["AITPU_JAX_PLATFORMS"] = "cpu"
@@ -67,16 +69,27 @@ class Server:
                 *self.extra_args,
             ],
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=open(os.path.join(self.data_dir, "server_stderr.log"), "ab"),
             text=True,
             env=env,
             cwd=REPO,
         )
-        deadline = time.time() + 60
+        deadline = time.time() + 120
+        want_search_plane = "--search-port" in self.extra_args
+        self.search_port = None
         while time.time() < deadline:
+            # Blocking readline is safe: every startup path either prints
+            # its announce line or exits (readline returns '' on EOF).
+            # NOTE: do not mix select() with this buffered reader — both
+            # announce lines can arrive in one read, leaving the second in
+            # the user-space buffer where select can't see it.
             line = self.proc.stdout.readline()
             if line.startswith("LISTENING"):
                 self.port = int(line.split()[1])
+                if not want_search_plane:
+                    break
+            elif line.startswith("SEARCHPLANE"):
+                self.search_port = int(line.split()[1])
                 break
             if self.proc.poll() is not None:
                 raise RuntimeError("server died on startup")

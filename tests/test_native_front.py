@@ -127,6 +127,8 @@ def test_error_parity(stack):
         ("/main/_search", dict(json={"query": [1, True]})),  # bool hash
         ("/main/_search", dict(json={"query": [1], "limit": "x"})),  # bad int
         ("/main/_search", dict(data=b"{", headers={"Content-Type": "application/json"})),
+        ("/main/_search", dict(data=b'{"query": [-]}', headers={"Content-Type": "application/json"})),
+        ("/main/_search", dict(data=b'{"query": [-, 1]}', headers={"Content-Type": "application/json"})),
         ("/main/_search", dict(data=b"\xc1", headers={"Content-Type": MSGPACK_CT})),
         ("/main/_search", dict(data=b"x", headers={"Content-Type": "text/plain"})),
     ]
@@ -207,6 +209,53 @@ def test_concurrent_load(stack):
     assert hits[0] == 200
     front = stack["front"]
     assert front.stat(1) >= 200  # responded counter moved
+
+
+def test_process_level_search_plane_and_kill9(tmp_path):
+    """The real deployment shape: `main.py --search-port` serves the native
+    plane beside the Python control plane in a subprocess; data written via
+    the control plane is searchable via the native plane, survives SIGKILL
+    + restart, and shuts down cleanly on SIGTERM (exit 0)."""
+    from server_fixture import Server
+
+    # --search-port 0 means OFF (like --legacy-port); -1 auto-picks a free
+    # port, announced on stdout as SEARCHPLANE <port> (race-free).
+    s = Server(tmp_path, extra_args=["--search-port", "-1", "--checkpoint-age-ms", "0"])
+    s.start()
+    try:
+        assert s.search_port, "native plane port not announced"
+        nat = f"http://127.0.0.1:{s.search_port}"
+        assert requests.get(nat + "/_health", timeout=10).text == "OK\n"
+        r = requests.put(s.url("/fp"))
+        assert r.status_code == 200, r.text
+        hashes = [9 * k + 2 for k in range(1, 30)]
+        assert requests.put(s.url("/fp/7"), json={"hashes": hashes}).status_code == 200
+
+        def search_native(retry_s=120.0):
+            deadline = time.time() + retry_s
+            while True:
+                r = requests.post(nat + "/fp/_search", json={"query": hashes, "timeout": 30000})
+                if r.status_code == 503 and time.time() < deadline:
+                    time.sleep(0.1)
+                    continue
+                return r
+
+        r = search_native()
+        assert r.status_code == 200, r.content
+        assert r.json()["results"][0]["id"] == 7
+
+        s.restart(hard=True)  # SIGKILL: WAL recovery path
+        assert s.search_port, "native plane port not announced after restart"
+        nat = f"http://127.0.0.1:{s.search_port}"
+        r = search_native()
+        assert r.status_code == 200, r.content
+        assert r.json()["results"][0]["id"] == 7
+
+        proc = s.proc
+        s.stop()  # SIGTERM
+        assert proc.returncode == 0
+    finally:
+        s.stop()
 
 
 def test_raw_socket_pipeline_and_close(stack):
