@@ -128,7 +128,7 @@ def test_sharded_concurrent_searches_coalesce(tmp_path):
 def test_http_server_mesh_shards(tmp_path):
     s = Server(
         tmp_path / "data",
-        extra_args=["--mesh-shards", "8"],
+        extra_args=["--mesh-shards", "8", "--search-port", "-1"],
         env_extra={"AITPU_HOST_DEVICE_COUNT": "8"},
     ).start()
     try:
@@ -143,6 +143,15 @@ def test_http_server_mesh_shards(tmp_path):
         )
         assert r.status_code == 200, r.text
         assert r.json()["results"][0] == {"id": 3, "score": 3}
+
+        # The native search plane pumps through the SAME sharded searcher
+        # (ShardedBatchingSearcher only overrides _launch); its response must
+        # match the Python plane byte-for-byte.
+        assert s.search_port, "native plane port not announced"
+        body = {"query": [21, 22, 2**31 + 3], "min_score": 1, "score_pct": 0}
+        rn = post_search(f"http://127.0.0.1:{s.search_port}/main/_search", json=body)
+        assert rn.status_code == 200, rn.content
+        assert rn.content == post_search(u("/main/_search"), json=body).content
 
         # Durability through restart with the sharded searcher.
         s.restart()
