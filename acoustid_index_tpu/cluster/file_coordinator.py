@@ -113,10 +113,20 @@ class FileCoordinator(MemoryCoordinator):
             path = os.path.join(self.dir, _file_name(start))
             with open(path, "rb") as f:
                 data = f.read()
-            for body in _scan_records(data):
+            bodies, consumed = _scan_records(data)
+            for body in bodies:
                 self._apply_record(body)
                 self._next_ordinal += 1
-            self._total_log_size += len(data)
+            if consumed < len(data):
+                # Truncate the torn tail NOW: if this file held zero valid
+                # records, the next append reuses its name (_next_ordinal ==
+                # start) and would otherwise write acknowledged, fsync'd
+                # records BEHIND torn bytes that replay can never pass.
+                with open(path, "r+b") as f:
+                    f.truncate(consumed)
+                    f.flush()
+                    os.fsync(f.fileno())
+            self._total_log_size += consumed
 
     def _restore_snapshot(self, snap: dict) -> None:
         from .coordinator import Entry, MetaOp, _Lineage
@@ -278,10 +288,13 @@ class FileCoordinator(MemoryCoordinator):
 
 
 def _scan_records(data: bytes):
-    """Yield msgpack bodies of the valid record prefix (torn-tail safe)."""
+    """Msgpack bodies of the valid record prefix (torn-tail safe).
+    Returns (bodies, consumed_bytes) — consumed marks where the valid
+    prefix ends so the caller can truncate torn bytes."""
     from ..utils import native
 
     valid = native.scan_frames(data, MAX_RECORD_SIZE)
+    bodies = []
     pos = 0
     while pos < len(data):
         if pos + RECORD_HEADER.size > len(data):
@@ -295,5 +308,6 @@ def _scan_records(data: bytes):
                 break
         elif len(payload) < length or zlib.crc32(payload) != crc:
             break
-        yield msgpack.unpackb(payload, strict_map_key=False)
+        bodies.append(msgpack.unpackb(payload, strict_map_key=False))
         pos += RECORD_HEADER.size + length
+    return bodies, pos

@@ -576,6 +576,12 @@ class BatchingSearcher(Searcher):
         if key_exact not in self._precompiling:
             import weakref
 
+            if self._precompile_q is None:
+                # Callers outside the dispatch pipeline (the native front's
+                # pumps) can reach here before any submit() started the
+                # threads — start them so the background precompile runs.
+                with self._qcond:
+                    self._ensure_threads_locked()
             self._precompiling.add(key_exact)
             # Weakref: a minutes-long background compile must not pin a
             # superseded snapshot's device buffers in HBM.

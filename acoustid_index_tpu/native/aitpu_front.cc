@@ -133,19 +133,31 @@ struct JsonParser {
         p += n;
         return true;
     }
-    // Parses a number; integer-valued => *is_int = true and *iv set.
+    // Parses a number with json.loads' grammar (leading-zero and bare-'-'
+    // forms rejected, exponents need digits); integer-valued => *is_int.
     bool number(bool* is_int, int64_t* iv, double* dv) {
         const char* s = p;
         if (p < end && *p == '-') p++;
         const char* digits = p;
         while (p < end && *p >= '0' && *p <= '9') p++;
         if (p == digits) { p = s; return false; }  // bare '-' is not a number
+        if (*digits == '0' && p - digits > 1) { p = s; return false; }  // 01
         bool frac = false;
-        if (p < end && (*p == '.' || *p == 'e' || *p == 'E')) {
+        if (p < end && *p == '.') {
             frac = true;
-            while (p < end && (strchr("0123456789.eE+-", *p) != nullptr)) p++;
+            p++;
+            const char* fd = p;
+            while (p < end && *p >= '0' && *p <= '9') p++;
+            if (p == fd) { p = s; return false; }  // "1." is not JSON
         }
-        if (p == s) return false;
+        if (p < end && (*p == 'e' || *p == 'E')) {
+            frac = true;
+            p++;
+            if (p < end && (*p == '+' || *p == '-')) p++;
+            const char* ed = p;
+            while (p < end && *p >= '0' && *p <= '9') p++;
+            if (p == ed) { p = s; return false; }  // "1e" is not JSON
+        }
         std::string tok(s, p - s);
         if (!frac) {
             errno = 0;
@@ -235,13 +247,19 @@ struct JsonParser {
     }
 };
 
+// json.loads rejects trailing bytes after the top-level value.
+bool json_at_end(JsonParser* j) {
+    j->ws();
+    return j->p == j->end;
+}
+
 bool parse_json_body(const char* data, size_t len, Body* b) {
     JsonParser j{data, data + len};
     j.ws();
     if (j.p >= j.end || *j.p != '{') return false;
     j.p++;
     j.ws();
-    if (j.p < j.end && *j.p == '}') return true;
+    if (j.p < j.end && *j.p == '}') { j.p++; return json_at_end(&j); }
     while (true) {
         j.ws();
         std::string key;
@@ -308,7 +326,7 @@ bool parse_json_body(const char* data, size_t len, Body* b) {
         if (j.p < j.end && *j.p == '}') { j.p++; break; }
         return false;
     }
-    return true;
+    return json_at_end(&j);
 }
 
 // --- minimal msgpack parser for the same request shape.
@@ -452,7 +470,8 @@ bool parse_msgpack_body(const uint8_t* data, size_t len, Body* b) {
             if (!m.skip_value()) return false;
         }
     }
-    return true;
+    // msgpack.unpackb raises ExtraData on trailing bytes -> 400.
+    return m.p == m.end;
 }
 
 // ------------------------------------------------------------- encoding
@@ -783,8 +802,12 @@ void conn_loop(Server* srv, int fd) {
         req.row[bucket + 1] = static_cast<uint32_t>(limit);
         req.row[bucket + 2] = static_cast<uint32_t>(min_score);
         req.row[bucket + 3] = static_cast<uint32_t>(pct);
+        // timeout 0 = no deadline; negative = already expired (the Python
+        // path treats any non-zero timeout as a deadline, so a negative one
+        // lands in the past and answers SearchTimeout).
         req.deadline = timeout_ms > 0 ? Clock::now() + std::chrono::milliseconds(timeout_ms)
-                                      : Clock::time_point::max();
+                       : timeout_ms == 0 ? Clock::time_point::max()
+                                         : Clock::now() - std::chrono::milliseconds(1);
 
         std::string gkey = index;
         gkey.push_back('\0');

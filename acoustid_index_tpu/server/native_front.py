@@ -149,9 +149,7 @@ class NativeFront:
                 chunk = batch_rows[done:]
                 b = searcher._pick_batch_size(snapshot, params, chunk.shape[0])
                 m = min(chunk.shape[0], b)
-                packed = np.zeros((b, bucket + 4), np.uint32)
-                packed[:, bucket + 1] = 1  # limit >= 1 for padding rows
-                packed[:m] = chunk[:m]
+                packed = searcher._pack_rows(params, chunk[:m], b)
                 handle = searcher._launch(snapshot, params, packed)
                 searcher._warm.add(searcher._shape_key(snapshot, params, b))
                 out = np.asarray(jax.device_get(handle))[:m]

@@ -64,13 +64,18 @@ def main() -> None:
             self.pump_out()
 
         def pump_out(self):
-            # Non-blocking send of whatever remains; selector re-arms on EAGAIN.
+            # Non-blocking send of whatever remains.  On EAGAIN the selector
+            # must watch for writability: the server won't produce a read
+            # event until the request TAIL arrives, so read-only
+            # registration would deadlock the connection.
             while self.out:
                 try:
                     n = self.sock.send(self.out)
                 except BlockingIOError:
+                    sel.modify(self.sock, selectors.EVENT_READ | selectors.EVENT_WRITE, self)
                     return
                 self.out = self.out[n:]
+            sel.modify(self.sock, selectors.EVENT_READ, self)
 
     count = 0
     miss = 0
@@ -83,8 +88,12 @@ def main() -> None:
     t_start = time.time()
     deadline = t_start + args.seconds
     while time.time() < deadline:
-        for key, _ in sel.select(timeout=0.2):
+        for key, mask in sel.select(timeout=0.2):
             c = key.data
+            if mask & selectors.EVENT_WRITE:
+                c.pump_out()
+            if not (mask & selectors.EVENT_READ):
+                continue
             try:
                 data = c.sock.recv(262144)
             except BlockingIOError:

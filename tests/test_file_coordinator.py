@@ -111,6 +111,32 @@ def test_torn_tail_recovers_valid_prefix(tmp_path):
     c2.close()
 
 
+def test_torn_first_record_does_not_eat_later_appends(tmp_path):
+    """A torn FIRST record makes the reopened log reuse the same filename
+    (next_ordinal == file start).  The torn bytes must be truncated at
+    load — otherwise acknowledged records append BEHIND them and are
+    silently lost on the NEXT restart."""
+    c = mk(tmp_path)
+    c.create_index("main")
+    c.close()
+
+    logs = [p for p in os.listdir(tmp_path) if p.endswith(".clog")]
+    assert len(logs) == 1
+    path = tmp_path / logs[0]
+    path.write_bytes(path.read_bytes()[:-3])  # tear the ONLY record
+
+    c2 = mk(tmp_path)
+    assert c2.active_indexes() == {}  # torn create was never acknowledged
+    gen = c2.create_index("main")  # acknowledged (fsync'd) after reopen
+    c2.append("main", gen, [Insert(1, (10,))], expected=0)
+    c2.close()
+
+    c3 = mk(tmp_path)  # second restart: the acknowledged records must hold
+    assert c3.active_indexes() == {"main": gen}
+    assert c3.last_seq("main", gen) == 1
+    c3.close()
+
+
 def test_compaction_and_reopen(tmp_path):
     c = mk(tmp_path)
     gen, gen2 = fill(c)

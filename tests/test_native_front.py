@@ -129,6 +129,16 @@ def test_error_parity(stack):
         ("/main/_search", dict(data=b"{", headers={"Content-Type": "application/json"})),
         ("/main/_search", dict(data=b'{"query": [-]}', headers={"Content-Type": "application/json"})),
         ("/main/_search", dict(data=b'{"query": [-, 1]}', headers={"Content-Type": "application/json"})),
+        # json.loads strictness: trailing garbage, leading zeros, bare exponents.
+        ("/main/_search", dict(data=b'{"query": [1]} junk', headers={"Content-Type": "application/json"})),
+        ("/main/_search", dict(data=b'{"query": [1]}]', headers={"Content-Type": "application/json"})),
+        ("/main/_search", dict(data=b'{"query": [01]}', headers={"Content-Type": "application/json"})),
+        ("/main/_search", dict(data=b'{"query": [1], "limit": 1e}', headers={"Content-Type": "application/json"})),
+        ("/main/_search", dict(data=b'{"query": [1.]}', headers={"Content-Type": "application/json"})),
+        # msgpack.unpackb raises ExtraData on trailing bytes.
+        ("/main/_search", dict(data=msgpack.packb({"q": [1]}) + b"x", headers={"Content-Type": MSGPACK_CT})),
+        # Negative timeout: an already-expired deadline on both planes.
+        ("/main/_search", dict(json={"query": [1, 2, 3], "timeout": -1})),
         ("/main/_search", dict(data=b"\xc1", headers={"Content-Type": MSGPACK_CT})),
         ("/main/_search", dict(data=b"x", headers={"Content-Type": "text/plain"})),
     ]

@@ -204,3 +204,36 @@ def test_coordinator_read_is_sliced_not_scanned():
     c.create_index("other")
     ops = c.read_meta(1, 10, deadline=time.monotonic() + 5)
     assert [op.pos for op in ops] == [2]
+
+
+def test_pick_batch_size_starts_pipeline_for_external_callers():
+    """The native front's pumps call _pick_batch_size without ever having
+    submit()ed, so the precompile queue may not exist yet; the warm-but-not-
+    exact path must start the pipeline rather than raise AttributeError on
+    a None _precompile_q (and permanently poison _precompiling)."""
+    from acoustid_index_tpu.engine.memseg import build_segment
+    from acoustid_index_tpu.engine.model import SegmentInfo
+    from acoustid_index_tpu.engine.searcher import BatchingSearcher, _params_for
+    from acoustid_index_tpu.engine.segments import (
+        FILE_SLOTS,
+        MEMORY_SLOTS,
+        Snapshot,
+        pack_tier,
+    )
+
+    seg = build_segment([Insert(id=1, hashes=[1, 2, 3])], SegmentInfo(commit_id=1))
+    snap = Snapshot(
+        file=(seg,),
+        memory=(),
+        file_view=pack_tier([seg], FILE_SLOTS),
+        mem_view=pack_tier([], MEMORY_SLOTS),
+    )
+    s = BatchingSearcher()
+    try:
+        p = _params_for(64)
+        s._warm.add(s._shape_key(snap, p, 1))  # some bucket warm, exact cold
+        assert s._precompile_q is None
+        assert s._pick_batch_size(snap, p, 2) == 1  # chunk at the warm size
+        assert s._precompile_q is not None  # pipeline started for the bg compile
+    finally:
+        s.close()
