@@ -191,8 +191,8 @@ class Index:
             version=version,
             file_version=file_version,
             external_versions=state["external"],
-            file_view=searcher.pack_file_tier(file_segments),
-            mem_view=searcher.pack_mem_tier(memory_segments),
+            file_view=searcher.pack_file_tier(file_segments, owner=path),
+            mem_view=searcher.pack_mem_tier(memory_segments, owner=path),
         )
         return cls(path, oplog, snapshot, checkpoint_threshold, checkpoint_age, searcher)
 
@@ -309,7 +309,7 @@ class Index:
                 file_version=self.file_version,
                 external_versions=self.external_versions,
                 file_view=cur.file_view,  # shared: the write never touches the big buffer
-                mem_view=self.searcher.pack_mem_tier(new_memory),
+                mem_view=self.searcher.pack_mem_tier(new_memory, owner=self.path),
             )
             self._swap(snap)
             self._wake.set()
@@ -355,7 +355,7 @@ class Index:
             file_version=self.file_version,
             external_versions=self.external_versions,
             file_view=cur.file_view,
-            mem_view=self.searcher.pack_mem_tier(new_memory),
+            mem_view=self.searcher.pack_mem_tier(new_memory, owner=self.path),
         )
         self._swap(snap)
         metrics.inc_memory_merges()
@@ -412,8 +412,8 @@ class Index:
                 version=self.version,
                 file_version=max(self.file_version, fseg.info.effective_version()),
                 external_versions=self.external_versions,
-                file_view=self.searcher.pack_file_tier(new_file),
-                mem_view=self.searcher.pack_mem_tier(kept),
+                file_view=self.searcher.pack_file_tier(new_file, owner=self.path),
+                mem_view=self.searcher.pack_mem_tier(kept, owner=self.path),
             )
             manifest.write_manifest(self.data_dir, [s.info for s in new_file])  # COMMIT
             self._swap(snap)
@@ -466,7 +466,7 @@ class Index:
                 version=self.version,
                 file_version=self.file_version,
                 external_versions=self.external_versions,
-                file_view=self.searcher.pack_file_tier(new_file),
+                file_view=self.searcher.pack_file_tier(new_file, owner=self.path),
                 mem_view=latest.mem_view,
             )
             manifest.write_manifest(self.data_dir, [s.info for s in new_file])  # COMMIT

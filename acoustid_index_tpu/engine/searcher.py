@@ -75,21 +75,22 @@ class Searcher:
     def __init__(self):
         self._fns: Dict[SearchParams, object] = {}
         self._lock = threading.Lock()
-        # Sticky HIGH-WATER device shapes per tier: [postings cap, docs cap,
-        # mention cap, slots].  Capacities and slot counts only ever grow,
-        # so a write-heavy serving state converges to ONE shape set instead
-        # of producing a fresh shape — and a fresh compile — every
-        # half-octave of growth and every slot-bucket change.  Small
-        # indexes still start small (the floors begin at the minimums).
-        self._hwm = {
-            "file": [1024, 1024, 1024, 0],
-            "mem": [1024, 1024, 1024, 0],
-        }
+        # Sticky HIGH-WATER device shapes per (owner index, tier):
+        # [postings cap, docs cap, mention cap, slots].  Capacities and slot
+        # counts only ever grow, so a write-heavy serving state converges to
+        # ONE shape set instead of producing a fresh shape — and a fresh
+        # compile — every half-octave of growth and every slot-bucket
+        # change.  Keyed by owner because this searcher is a process-wide
+        # singleton: without the key, one 100M-posting index would force
+        # every small index in the MultiIndex to allocate ITS bucketed
+        # capacities (GBs of sentinel padding per index).
+        self._hwm: Dict[tuple, list] = {}
 
-    def _pack_sticky(self, segments, slots_cap: int, key: str) -> Dict:
+    def _pack_sticky(self, segments, slots_cap: int, tier: str, owner) -> Dict:
         from .segments import pack_tier
 
-        hwm = self._hwm[key]
+        with self._lock:
+            hwm = list(self._hwm.get((owner, tier), (1024, 1024, 1024, 0)))
         view = pack_tier(
             segments,
             slots_cap,
@@ -98,21 +99,28 @@ class Searcher:
         )
         from ..ops.layout import postings_cap
 
-        hwm[0] = max(hwm[0], postings_cap(view))
-        hwm[1] = max(hwm[1], int(view["docs_ids"].shape[0]))
-        hwm[2] = max(hwm[2], int(view["mention_ids"].shape[0]))
-        hwm[3] = max(hwm[3], int(view["seg_start"].shape[0]))
+        grown = (
+            postings_cap(view),
+            int(view["docs_ids"].shape[0]),
+            int(view["mention_ids"].shape[0]),
+            int(view["seg_start"].shape[0]),
+        )
+        with self._lock:
+            cur = self._hwm.setdefault((owner, tier), [1024, 1024, 1024, 0])
+            for i in range(4):
+                cur[i] = max(cur[i], grown[i])
+        view["owner"] = owner
         return view
 
-    def pack_file_tier(self, segments) -> Dict:
+    def pack_file_tier(self, segments, owner=None) -> Dict:
         from .segments import FILE_SLOTS
 
-        return self._pack_sticky(segments, FILE_SLOTS, "file")
+        return self._pack_sticky(segments, FILE_SLOTS, "file", owner)
 
-    def pack_mem_tier(self, segments) -> Dict:
+    def pack_mem_tier(self, segments, owner=None) -> Dict:
         from .segments import MEMORY_SLOTS
 
-        return self._pack_sticky(segments, MEMORY_SLOTS, "mem")
+        return self._pack_sticky(segments, MEMORY_SLOTS, "mem", owner)
 
     def _fn(self, params: SearchParams):
         with self._lock:
@@ -292,7 +300,11 @@ class BatchingSearcher(Searcher):
         self._shape_cache: Dict[int, tuple] = {}
         # (file token, mem token) of the most recently submitted request —
         # lets the precompiler drop requests for superseded views.
-        self._latest_group = None
+        # Latest (file,mem) view tokens PER OWNER index: the precompiler
+        # skips items whose views were superseded, and a single global pair
+        # would mark every other index's precompiles stale under
+        # multi-index traffic.
+        self._latest_group = {}
 
     # ---- submission ----
 
@@ -338,7 +350,7 @@ class BatchingSearcher(Searcher):
                 req.done.set()
                 return req
             self._ensure_threads_locked()
-            self._latest_group = key[:2]
+            self._latest_group[snapshot.file_view.get("owner")] = key[:2]
             self._pending.append(req)
             self._qcond.notify()
         return req
@@ -355,9 +367,14 @@ class BatchingSearcher(Searcher):
     def _await(self, req: _PendingSearch):
         if req.deadline is None:
             # No deadline (legacy sessions may run with timeout 0 = none):
-            # still bound the wait so a lost batch surfaces as an error.
-            if not req.done.wait(self.MAX_RESULT_WAIT):
-                raise RuntimeError("batched search dispatcher never completed")
+            # a healthy-but-slow pipeline (cold compiles take minutes on a
+            # tunneled TPU) must keep being waited on, but a DEAD pipeline
+            # must surface as an error instead of blocking forever — so
+            # re-check thread liveness each wait period.
+            while not req.done.wait(self.MAX_RESULT_WAIT):
+                threads = self._threads
+                if threads is None or not any(t.is_alive() for t in threads):
+                    raise RuntimeError("batched search pipeline died")
         elif not req.done.wait(max(0.0, req.deadline - time.monotonic())):
             from .errors import SearchTimeout
 
@@ -548,7 +565,7 @@ class BatchingSearcher(Searcher):
                 sorted(
                     (k, tuple(getattr(v, "shape", ())))
                     for k, v in view.items()
-                    if k != "view_token"
+                    if k not in ("view_token", "owner")
                 )
             )
             if tok is not None:
@@ -606,7 +623,8 @@ class BatchingSearcher(Searcher):
                     snapshot.file_view.get("view_token"),
                     snapshot.mem_view.get("view_token"),
                 )
-                if group[0] is not None and self._latest_group not in (None, group):
+                latest = self._latest_group.get(snapshot.file_view.get("owner"))
+                if group[0] is not None and latest not in (None, group):
                     continue  # views superseded: don't pin them through a compile
                 req = (np.zeros(params.query_len, np.uint32), 1, SearchOptions())
                 self._launch(snapshot, params, self._pack_batch(params, [req] * b, b))

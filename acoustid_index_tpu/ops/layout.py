@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import numpy as np
 
-BLOCK = 1024  # postings per block — must match ops.pallas_lookup.BLOCK
+# Postings per block: THE source of truth (ops.pallas_lookup imports it).
+# 4KB of hashes = (8, 128) tiles; hash_index/docid_index below depend on it
+# through _BLOCK_SHIFT.
+BLOCK = 1024
+_BLOCK_SHIFT = BLOCK.bit_length() - 1  # log2(BLOCK)
+assert BLOCK == 1 << _BLOCK_SHIFT, "BLOCK must be a power of two"
 
 
 def use_interleaved(cap: int, resident_max_bytes: int) -> bool:
@@ -74,11 +79,11 @@ def postings_cap(tier) -> int:
 
 def hash_index(idx):
     """Map a flat posting index to its position in the interleaved array."""
-    return ((idx >> 10) << 11) + (idx & (BLOCK - 1))
+    return ((idx >> _BLOCK_SHIFT) << (_BLOCK_SHIFT + 1)) + (idx & (BLOCK - 1))
 
 
 def docid_index(idx):
-    return ((idx >> 10) << 11) + BLOCK + (idx & (BLOCK - 1))
+    return ((idx >> _BLOCK_SHIFT) << (_BLOCK_SHIFT + 1)) + BLOCK + (idx & (BLOCK - 1))
 
 
 def hash_gather(tier, idx):

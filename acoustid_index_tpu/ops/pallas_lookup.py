@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 
 from .binsearch import steps_for, upper_bound
 
-BLOCK = 1024  # postings per block; 4KB of hashes = (8, 128) tiles
+from .layout import BLOCK  # postings per block; 4KB of hashes = (8, 128) tiles
 ROWS = BLOCK // 128
 
 
@@ -60,7 +60,9 @@ MAX_STREAM = 65536
 
 def _chunked_stream(call, scalars, L, max_stream: int = MAX_STREAM):
     """TILE-pad the per-lookup scalar arrays, run `call` over <= max_stream
-    chunks, and return (concatenated comp, padded scalars)."""
+    chunks, and return (concatenated output, padded scalars).  `call` may
+    return one array or a tuple of arrays (each with a leading dim that
+    scales with the chunk length — concatenated element-wise)."""
     TILE = 1024
     L_pad = -(-L // TILE) * TILE
     padded = []
@@ -70,11 +72,13 @@ def _chunked_stream(call, scalars, L, max_stream: int = MAX_STREAM):
         padded.append(a)
     if L_pad <= max_stream:
         return call(*padded), padded
-    comps = []
+    outs = []
     for s in range(0, L_pad, max_stream):
         e = min(s + max_stream, L_pad)
-        comps.append(call(*[a[s:e] for a in padded]))
-    return jnp.concatenate(comps), padded
+        outs.append(call(*[a[s:e] for a in padded]))
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.concatenate(parts) for parts in zip(*outs)), padded
+    return jnp.concatenate(outs), padded
 
 
 def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queries: jax.Array, stride: int = 1):
@@ -241,24 +245,9 @@ def block_lookup_emit(inter: jax.Array, blk: jax.Array, queries: jax.Array):
             interpret=_use_interpret(),
         )(bc, qc, *([inter2d] * G))
 
-    # Same chunking discipline as _chunked_stream, tuple outputs.
-    TILE = 1024
-    L_pad = -(-L // TILE) * TILE
-    if L_pad != L:
-        blk = jnp.concatenate([blk, jnp.zeros(L_pad - L, blk.dtype)])
-        queries = jnp.concatenate([queries, jnp.zeros(L_pad - L, queries.dtype)])
-    if L_pad <= MAX_STREAM:
-        comp, rows = call(blk, queries)
-    else:
-        comps, rowss = [], []
-        for s in range(0, L_pad, MAX_STREAM):
-            e = min(s + MAX_STREAM, L_pad)
-            c, r = call(blk[s:e], queries[s:e])
-            comps.append(c)
-            rowss.append(r)
-        comp, rows = jnp.concatenate(comps), jnp.concatenate(rowss)
+    (comp, rows), (blk, queries) = _chunked_stream(call, (blk, queries), L)
     rows = jax.lax.bitcast_convert_type(
-        rows.reshape(L_pad, 2, 128)[:L], jnp.uint32
+        rows.reshape(blk.shape[0], 2, 128)[:L], jnp.uint32
     )
     comp = comp[:L]
     lt = comp & jnp.int32(0xFFF)

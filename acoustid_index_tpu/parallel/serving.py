@@ -42,14 +42,16 @@ class ShardedBatchingSearcher(BatchingSearcher):
 
     # ---- view packing (called by the engine on tier changes) ----
 
-    def _pack(self, segments: Sequence, slots: int, key: str) -> Dict:
+    def _pack(self, segments: Sequence, slots: int, tier: str, owner) -> Dict:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         # Sticky high-water shapes, like the single-chip searcher (see
-        # Searcher._pack_sticky): write-heavy serving converges to one
-        # shape set per tier.
-        hwm = self._hwm[key]
+        # Searcher._pack_sticky, keyed per owner index so one big index
+        # doesn't inflate every other index's device arrays): write-heavy
+        # serving converges to one shape set per tier.
+        with self._lock:
+            hwm = list(self._hwm.get((owner, tier), (1024, 1024, 1024, 0)))
         view_np = _pack_tier_sharded(
             segments,
             self.n_shards,
@@ -61,22 +63,29 @@ class ShardedBatchingSearcher(BatchingSearcher):
             if "inter" in view_np
             else view_np["hashes"].shape[1]
         )
-        hwm[0] = max(hwm[0], int(cap0))
-        hwm[1] = max(hwm[1], int(view_np["docs_ids"].shape[1]))
-        hwm[2] = max(hwm[2], int(view_np["mention_ids"].shape[1]))
-        hwm[3] = max(hwm[3], int(view_np["seg_start"].shape[1]))
+        grown = (
+            int(cap0),
+            int(view_np["docs_ids"].shape[1]),
+            int(view_np["mention_ids"].shape[1]),
+            int(view_np["seg_start"].shape[1]),
+        )
+        with self._lock:
+            cur = self._hwm.setdefault((owner, tier), [1024, 1024, 1024, 0])
+            for i in range(4):
+                cur[i] = max(cur[i], grown[i])
         sharding = NamedSharding(self.mesh, P(AXIS))
         view = {k: jax.device_put(v, sharding) for k, v in view_np.items()}
         from ..engine.segments import _VIEW_TOKENS
 
         view["view_token"] = next(_VIEW_TOKENS)
+        view["owner"] = owner
         return view
 
-    def pack_file_tier(self, segments) -> Dict:
-        return self._pack(segments, FILE_SLOTS, "file")
+    def pack_file_tier(self, segments, owner=None) -> Dict:
+        return self._pack(segments, FILE_SLOTS, "file", owner)
 
-    def pack_mem_tier(self, segments) -> Dict:
-        return self._pack(segments, MEMORY_SLOTS, "mem")
+    def pack_mem_tier(self, segments, owner=None) -> Dict:
+        return self._pack(segments, MEMORY_SLOTS, "mem", owner)
 
     # ---- batch execution ----
 

@@ -237,3 +237,31 @@ def test_pick_batch_size_starts_pipeline_for_external_callers():
         assert s._precompile_q is not None  # pipeline started for the bg compile
     finally:
         s.close()
+
+
+def test_sticky_shapes_are_per_index():
+    """The default searcher is a process-wide singleton: one big index's
+    sticky high-water device capacities must not inflate every other
+    index's packed views (GBs of sentinel padding per small index)."""
+    import numpy as np
+
+    from acoustid_index_tpu.engine.memseg import build_segment
+    from acoustid_index_tpu.engine.model import SegmentInfo
+    from acoustid_index_tpu.engine.searcher import Searcher
+    from acoustid_index_tpu.ops.layout import postings_cap
+
+    rng = np.random.default_rng(3)
+    big = build_segment(
+        [Insert(id=i, hashes=rng.integers(1, 2**32, 24).tolist()) for i in range(1, 3001)],
+        SegmentInfo(commit_id=1),
+    )
+    small = build_segment([Insert(id=1, hashes=[1, 2, 3])], SegmentInfo(commit_id=1))
+    s = Searcher()
+    v_big = s.pack_file_tier([big], owner="big-index")
+    v_small = s.pack_file_tier([small], owner="small-index")
+    assert postings_cap(v_big) >= 3000 * 24
+    assert postings_cap(v_small) <= 1024  # floor, not the big index's cap
+    assert v_small["owner"] == "small-index"
+    # Same owner keeps the sticky behavior: repack never shrinks.
+    v_small2 = s.pack_file_tier([small], owner="big-index")
+    assert postings_cap(v_small2) == postings_cap(v_big)
