@@ -14,13 +14,15 @@ a per-block max-hash index, built for memory-system friendliness):
      index_map, so the DMA for lookup i+1 overlaps the compare for lookup
      i) and emits (lo, count) per lookup from vectorized compares.
 
-Each lookup scans TWO adjacent blocks: a hash run can straddle a block
-boundary (when the run's tail begins a block, the top index points there
-and the head lives in the previous block), so the fetch window is
-[b0, b0+1] with b0 stepped back one block when the landing block's first
-sampled hash already equals the query.  Runs longer than the two-block
-window are truncated and flagged — the analogue of the reference's
-MAX_DOCS_PER_HASH / MAX_BLOCKS_PER_HASH scan bounds.
+A hash run can straddle a block boundary (when the run's tail begins a
+block, the top index points there and the head lives in the previous
+block).  The top index identifies those lookups up front (the landing
+block's first sampled hash equals the query), and each one gets an extra
+single-block scan of the previous block appended to the same landing
+stream; the two scans compose exactly (see tier_ranges_blocked).  Runs
+longer than that two-block window are truncated and flagged — the
+analogue of the reference's MAX_DOCS_PER_HASH / MAX_BLOCKS_PER_HASH scan
+bounds.
 
 Tiers are packed as ONE merged hash-sorted run (the comb layout,
 engine/segments.py pack_tier), so the lookup stream is (batch, hash) —
@@ -79,96 +81,6 @@ def _chunked_stream(call, scalars, L, max_stream: int = MAX_STREAM):
     if isinstance(outs[0], tuple):
         return tuple(jnp.concatenate(parts) for parts in zip(*outs)), padded
     return jnp.concatenate(outs), padded
-
-
-def block_lookup_pair(hashes: jax.Array, blk0: jax.Array, blk1: jax.Array, queries: jax.Array, stride: int = 1):
-    """(lo, count) per lookup over the two-block window [blk0, blk1].
-
-    `hashes` has length a multiple of BLOCK (sentinel padded); `blk0`/`blk1`
-    are per-lookup block ids.  blk1 == 0 DISABLES the second block (a real
-    second block is always blk0+1 >= 1); disabled lookups then form
-    constant runs the pipeline's same-block skip makes free.  Scalar
-    prefetch arrays live in SMEM (1MB total), so the flag rides inside blk1
-    rather than a fourth array.  lo is the absolute index of the first
-    posting >= query within the window; count the number of equal postings
-    inside it.
-
-    `stride=2` reads the interleaved layout (ops/layout.py): each block
-    operand covers 2*ROWS rows of which the first ROWS are the hashes.
-    """
-    from jax.experimental.pallas import tpu as pltpu
-
-    # Lookups per grid step (2 pipelined block DMAs each).  Bigger G
-    # amortizes the fixed per-step cost over more lookups; must divide
-    # TILE.  The pair kernel carries 2G block operands per step, so its
-    # sweet spot is lower than the single-block kernel's.
-    G = int(os.environ.get("AITPU_PAIR_G", "64"))
-    TILE = 1024
-
-    L = queries.shape[0]
-    hashes2d = hashes.reshape(-1, 128)
-
-    # G lookups per grid step, two block operands each (the pipeline keeps
-    # 2G block DMAs in flight per step, and skips a DMA when consecutive
-    # steps map an operand to the same block — dead lookups point at block
-    # 0 so their runs collapse).  Outputs are SMEM scalars: one scalar
-    # store per lookup, which measured ~15% cheaper than the former
-    # (8, 128) one-hot tile merges (probes/_probe_kernelvariants.py) —
-    # this kernel is DMA-issue-bound, so the body must stay minimal: lt
-    # and eq are encoded in ONE composite per element ((x<q) + (x==q)<<12;
-    # both sums <= 2048 so the fields never carry) giving ONE cross-lane
-    # reduction per lookup; the (lo, cnt) decode happens in XLA outside
-    # the kernel where it is free elementwise work.
-    def kernel(blk0_ref, blk1_ref, q_ref, *refs):
-        h_refs = refs[: 2 * G]
-        comp_ref = refs[2 * G]
-        i = pl.program_id(0)
-        base = i * G
-        for k in range(G):
-            j = base + k
-            q = q_ref[j]
-            flag = (blk1_ref[j] > 0).astype(jnp.int32)
-            b0 = h_refs[2 * k][0:ROWS, :]
-            b1 = h_refs[2 * k + 1][0:ROWS, :]
-            v0 = (b0 < q).astype(jnp.int32) + ((b0 == q).astype(jnp.int32) << 12)
-            v1 = (b1 < q).astype(jnp.int32) + ((b1 == q).astype(jnp.int32) << 12)
-            comp_ref[j] = jnp.sum(v0 + flag * v1)
-
-    def in_spec(k):
-        half = k % 2
-        idx = k // 2
-        if half == 0:
-            return pl.BlockSpec(
-                (stride * ROWS, 128), lambda i, b0, b1, q, idx=idx: (b0[i * G + idx], 0)
-            )
-        return pl.BlockSpec(
-            (stride * ROWS, 128), lambda i, b0, b1, q, idx=idx: (b1[i * G + idx], 0)
-        )
-
-    def call(b0c, b1c, qc):
-        Lc = qc.shape[0]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # blk0, blk1 (0 = second block disabled), queries
-            grid=(Lc // G,),
-            in_specs=[in_spec(k) for k in range(2 * G)],
-            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((Lc,), jnp.int32),),
-            interpret=_use_interpret(),
-        )(b0c, b1c, qc, *([hashes2d] * (2 * G)))[0]
-
-    # 3 scalar arrays + the SMEM output must fit the ~1MB SMEM budget.
-    comp, (blk0, blk1, queries) = _chunked_stream(
-        call, (blk0, blk1, queries), L, max_stream=32768
-    )
-    comp = comp.reshape(-1)[:L]
-    lt = comp & jnp.int32(0xFFF)
-    eq = comp >> 12
-    lo = blk0[:L] * BLOCK + lt
-    return lo, eq
 
 
 def block_lookup_emit(inter: jax.Array, blk: jax.Array, queries: jax.Array):
@@ -258,15 +170,17 @@ def block_lookup_emit(inter: jax.Array, blk: jax.Array, queries: jax.Array):
 def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array, stride: int = 1):
     """Single-block (lo, count) lookup — for lookups that never need a
     two-block window: tables of UNIQUE keys (the mention tables, where a key
-    never spans blocks) and the top-index search (whose result is refined by
-    the pair kernel anyway).
+    never spans blocks), the top-index search, and the landing stream
+    (whose rare straddlers get an extra single-block tail slot — see
+    tier_ranges_blocked).
 
-    This is NOT the pair kernel with a dead second operand: the kernel's
-    cost floor is the pipeline's per-operand-per-step bookkeeping (~44-51ns,
-    measured body-content- and DMA-pattern-insensitive — an empty body costs
-    the same), so carrying a dead operand doubles the price.  One operand
-    per lookup runs ~2x faster.  Outputs are SMEM scalars (one scalar store
-    per lookup; measured faster than one-hot tile merges at every G —
+    A two-block-window variant was measured and retired: the kernel's cost
+    floor is the pipeline's per-operand-per-step bookkeeping (~44-51ns,
+    measured body-content- and DMA-pattern-insensitive — an empty body
+    costs the same), so a second operand doubles the price of every lookup
+    to serve the rare straddling ones (probes/_pairkernel.py keeps it for
+    the probes).  Outputs are SMEM scalars (one scalar store per lookup;
+    measured faster than one-hot tile merges at every G —
     probes/_probe_kernelvariants.py).
 
     `stride=2` reads the interleaved layout (ops/layout.py): each operand
@@ -535,30 +449,27 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k, emit: bool = False):
     b0 = jnp.where(live, b0, 0)
     b1 = jnp.where(jnp.logical_and(live, enabled), b1, 0)
 
-    # Stage 2: single-operand Pallas scan of each lookup's LANDING block.
-    # The pipeline's cost is per operand per grid step (DMA-skip or not),
-    # so the two-block window kernel costs 2x the single-block one — but
-    # only straddling runs actually need the window, and the top index
-    # already told us which lookups those are (step_back | enabled).  Run
-    # the whole stream single-block, then re-run just the straddlers — a
-    # tiny compacted stream of W_CAP slots — through the pair kernel and
-    # scatter the exact (lo, cnt) over the landing-block-truncated ones.
+    # Stage 2: single-operand Pallas scan of each lookup's LANDING block,
+    # with the straddle fixup riding the SAME stream.  Only straddling runs
+    # need to see the previous block, and the top index already told us
+    # which lookups those are (step_back): for a straddler the landing
+    # block's first entry == q, so nothing in it is < q and the two-block
+    # window result decomposes exactly as
+    #     lo  = b0*BLOCK + lt(b0)          (lt+eq == BLOCK in b0, so this
+    #                                       equals the landing lo when the
+    #                                       run starts at the boundary)
+    #     cnt = eq(b0) + eq(landing)
+    # i.e. one extra SINGLE-block scan of b0 per straddler.  Those extra
+    # scans are appended to the landing stream as a compacted W_CAP-slot
+    # tail — one pallas launch, one operand-slot each, instead of the
+    # former separate two-operand pair-kernel pass at twice the per-lookup
+    # cost (the kernel is operand-bookkeeping-bound, see block_lookup).
     lookups = qf
     L = lookups.shape[0]
     window = jnp.logical_and(live, jnp.logical_or(step_back, enabled)).reshape(-1)
     blk_main = jnp.where(live, blk, 0).reshape(-1)
-    rows = None
-    if emit:
-        # Emitting variant: the landing pass also returns each lookup's two
-        # docid rows (see block_lookup_emit).  `covered` marks lookups whose
-        # (lo, cnt) still describe the landing block after the straddle
-        # fixup below — only those may read their leading docids from the
-        # rows; straddlers' values move to the previous block.
-        lo_flat, cnt_flat, rows = block_lookup_emit(postings, blk_main, lookups)
-    else:
-        lo_flat, cnt_flat = block_lookup(postings, blk_main, lookups, stride=stride)
 
-    # The fixup stream must cover realistic straddler loads: a hot hash
+    # The fixup tail must cover realistic straddler loads: a hot hash
     # whose run crosses a block boundary consumes one slot per batch row
     # that queries it, so the cap scales with the stream (L/16 = full
     # coverage of 16 such hashes shared across a whole batch) with a 2048
@@ -574,10 +485,31 @@ def tier_ranges_blocked(tier, queries, valid_q, cap_k, emit: bool = False):
     n_w = jnp.sum(window.astype(jnp.int32))
     valid_w = jnp.arange(w_cap, dtype=jnp.int32) < n_w
     fb0 = jnp.where(valid_w, b0.reshape(-1)[sel], 0)
-    fb1 = jnp.where(valid_w, b1.reshape(-1)[sel], 0)
     fq = jnp.where(valid_w, lookups[sel], jnp.uint32(0))
-    lo_fix, cnt_fix = block_lookup_pair(postings, fb0, fb1, fq, stride=stride)
-    tgt = jnp.where(valid_w, sel, L)  # dead slots scatter out of range
+
+    ext_blk = jnp.concatenate([blk_main, fb0])
+    ext_q = jnp.concatenate([lookups, fq])
+    rows = None
+    if emit:
+        # Emitting variant: the landing pass also returns each lookup's two
+        # docid rows (see block_lookup_emit).  `covered` marks lookups whose
+        # (lo, cnt) still describe the landing block after the straddle
+        # fixup below — only those may read their leading docids from the
+        # rows; straddlers' values move to the previous block.  The fixup
+        # tail's rows are dead weight (sliced off) but cost nothing extra —
+        # the emission is free against the landing baseline.
+        lo_all, cnt_all, rows_all = block_lookup_emit(postings, ext_blk, ext_q)
+        rows = rows_all[:L]
+    else:
+        lo_all, cnt_all = block_lookup(postings, ext_blk, ext_q, stride=stride)
+    lo_flat, cnt_flat = lo_all[:L], cnt_all[:L]
+
+    # Compose each straddler's exact (lo, cnt) from its b0 tail scan + its
+    # landing scan (see the decomposition above), then scatter over the
+    # landing-truncated values.  Dead tail slots target index L -> dropped.
+    lo_fix = lo_all[L : L + w_cap]
+    cnt_fix = cnt_all[L : L + w_cap] + cnt_flat[jnp.clip(sel, 0, L - 1)]
+    tgt = jnp.where(valid_w, sel, L)
     lo_flat = lo_flat.at[tgt].set(lo_fix, mode="drop")
     cnt_flat = cnt_flat.at[tgt].set(cnt_fix, mode="drop")
     # Straddlers beyond w_cap keep their landing-block-truncated values —

@@ -98,7 +98,7 @@ lo, cnt = fn(hashes, b0, flag, q)
 lo.block_until_ready()
 
 # reference: production kernel on the same inputs (flag -> blk1)
-from acoustid_index_tpu.ops.pallas_lookup import block_lookup_pair
+from probes._pairkernel import block_lookup_pair
 
 b1 = jnp.where(flag > 0, jnp.minimum(b0 + 1, nblk - 1), 0)
 lo_a, cnt_a = jax.jit(block_lookup_pair)(hashes[:N], b0, b1, q)

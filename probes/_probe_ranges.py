@@ -16,10 +16,10 @@ import jax.numpy as jnp
 from bench import BATCH, N_DOCS, make_queries
 from acoustid_index_tpu.engine.searcher import _params_for
 from acoustid_index_tpu.ops.build import sort_postings
+from probes._pairkernel import block_lookup_pair
 from acoustid_index_tpu.ops.pallas_lookup import (
     BLOCK,
     block_lookup,
-    block_lookup_pair,
     block_lookup_resident,
     tier_ranges_blocked,
 )

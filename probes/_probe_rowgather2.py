@@ -74,7 +74,7 @@ bench("per_lookup(1 block)", per_lookup, args)
 bench("pair_two_gathers", pair_two_gathers, args)
 
 # correctness vs pallas
-from acoustid_index_tpu.ops.pallas_lookup import block_lookup_pair
+from probes._pairkernel import block_lookup_pair
 
 lt, eq = pair_two_gathers(hashes2d, blk, q)
 lo_p, cnt_p = jax.jit(block_lookup_pair)(hashes2d.reshape(-1), blk, blk + 1, q)

@@ -1,7 +1,8 @@
 import time
 import numpy as np
 import jax, jax.numpy as jnp
-from acoustid_index_tpu.ops.pallas_lookup import block_lookup, block_lookup_pair, BLOCK
+from probes._pairkernel import block_lookup_pair
+from acoustid_index_tpu.ops.pallas_lookup import block_lookup, BLOCK
 
 N = 1 << 28
 hashes = jnp.arange(N, dtype=jnp.uint32)

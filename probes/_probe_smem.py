@@ -83,7 +83,7 @@ def run(h, b0, b1, q):
 
 
 # correctness check vs the production kernel
-from acoustid_index_tpu.ops.pallas_lookup import block_lookup_pair
+from probes._pairkernel import block_lookup_pair
 
 b0 = jnp.asarray(rng.integers(1, nblk - 1, L), jnp.int32)
 b1 = jnp.asarray(np.minimum(np.asarray(b0) + 1, nblk - 1), jnp.int32)
