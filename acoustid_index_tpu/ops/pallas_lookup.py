@@ -100,6 +100,8 @@ def block_lookup_emit(inter: jax.Array, blk: jax.Array, queries: jax.Array):
     extracted docids, by contrast, measured +64ns per value — scalar
     emission is the one shape the kernel must avoid.
     """
+    if _use_wave():
+        return block_lookup_emit_wave(inter, blk, queries)
     from jax.experimental.pallas import tpu as pltpu
 
     G = int(os.environ.get("AITPU_EMIT_G", "128"))
@@ -185,6 +187,8 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array, stride: 
 
     `stride=2` reads the interleaved layout (ops/layout.py): each operand
     covers 2*ROWS rows, hashes in the first ROWS."""
+    if _use_wave():
+        return block_lookup_wave(hashes, blk, queries, stride=stride)
     from jax.experimental.pallas import tpu as pltpu
 
     # G=256 measured 41ns/lookup vs 52 at G=64 (probes/_probe_kernelvariants).
@@ -232,6 +236,239 @@ def block_lookup(hashes: jax.Array, blk: jax.Array, queries: jax.Array, stride: 
     eq = comp >> 12
     lo = blk[:L] * BLOCK + lt
     return lo, eq
+
+
+def _use_wave() -> bool:
+    # The wave kernels (explicit-DMA, measured ~16ns/lookup vs the grid
+    # pipeline's ~41ns — probes/_probe_dma2.py) are the default on real
+    # TPUs; the grid kernels remain the interpret-mode (CPU test) path and
+    # the AITPU_WAVE=0 escape hatch.  tests/test_wave_lookup.py pins the
+    # wave kernels' numerics under interpret directly.
+    return os.environ.get("AITPU_WAVE", "1") == "1" and not _use_interpret()
+
+
+def _wave_geometry():
+    g = int(os.environ.get("AITPU_WAVE_G", "64"))
+    nbuf = int(os.environ.get("AITPU_WAVE_NBUF", "4"))
+    return g, nbuf
+
+
+def block_lookup_wave(hashes: jax.Array, blk: jax.Array, queries: jax.Array, stride: int = 1):
+    """Explicit-DMA single-block lookup: same contract as block_lookup, but
+    instead of riding the grid pipeline (whose per-operand-per-step
+    bookkeeping floors at ~41ns/lookup regardless of body or DMA pattern),
+    the kernel runs grid=1 and software-pipelines its own HBM->VMEM block
+    copies in WAVES: g copies started per wave onto one scratch slot (one
+    shared DMA semaphore per slot — sflag memory is ~2KB, a per-copy
+    semaphore array does not fit), nbuf wave slots in flight, then g static
+    per-band (ROWS,128) compares.  Measured 15.6ns/lookup at g=64 nbuf=4 on
+    a 1GB table (probes/_probe_dma2.py), 2.6x the grid kernel.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, nbuf = _wave_geometry()
+    R = stride * ROWS
+
+    L = queries.shape[0]
+    hashes2d = hashes.reshape(-1, 128)
+
+    def kernel(blk_ref, q_ref, hbm_ref, comp_ref, scratch, sems):
+        def start(w):
+            slot = jax.lax.rem(w, nbuf)
+            for k in range(g):
+                row0 = blk_ref[w * g + k] * R
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(row0, R), :],
+                    scratch.at[slot, pl.ds(k * R, R), :],
+                    sems.at[slot],
+                ).start()
+
+        def wait_and_compute(w):
+            slot = jax.lax.rem(w, nbuf)
+            for k in range(g):
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(0, R), :],
+                    scratch.at[slot, pl.ds(k * R, R), :],
+                    sems.at[slot],
+                ).wait()
+            tile = scratch[slot]
+            for k in range(g):
+                q = q_ref[w * g + k]
+                hh = tile[k * R : k * R + ROWS, :]
+                comp_ref[w * g + k] = jnp.sum(
+                    (hh < q).astype(jnp.int32) + ((hh == q).astype(jnp.int32) << 12)
+                )
+
+        n_w = comp_ref.shape[0] // g
+        for w in range(min(nbuf, n_w)):
+            start(w)
+
+        def body(w, _):
+            wait_and_compute(w)
+
+            @pl.when(w + nbuf < n_w)
+            def _():
+                start(w + nbuf)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_w, body, 0)
+
+    def call(bc, qc):
+        Lc = qc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, g * R, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((Lc,), jnp.int32),),
+            interpret=_use_interpret(),
+        )(bc, qc, hashes2d)[0]
+
+    comp, (blk, queries) = _chunked_stream(call, (blk, queries), L)
+    comp = comp.reshape(-1)[:L]
+    lt = comp & jnp.int32(0xFFF)
+    eq = comp >> 12
+    lo = blk[:L] * BLOCK + lt
+    return lo, eq
+
+
+def block_lookup_emit_wave(inter: jax.Array, blk: jax.Array, queries: jax.Array):
+    """Explicit-DMA variant of block_lookup_emit (same contract): per lookup
+    one (2*ROWS,128) interleaved-tile copy, wave-pipelined as in
+    block_lookup_wave, and each lookup's two leading docid rows emitted to
+    HBM with one VMEM->HBM rows DMA per wave (double-buffered)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, nbuf = _wave_geometry()
+    nout = 2
+    TR = 2 * ROWS
+
+    L = queries.shape[0]
+    inter2d = inter.reshape(-1, 128)
+
+    def kernel(blk_ref, q_ref, hbm_ref, comp_ref, rows_ref, scratch, rows_s, sems, osems):
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
+
+        def start(w):
+            slot = jax.lax.rem(w, nbuf)
+            for k in range(g):
+                row0 = blk_ref[w * g + k] * TR
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(row0, TR), :],
+                    scratch.at[slot, pl.ds(k * TR, TR), :],
+                    sems.at[slot],
+                ).start()
+
+        def wait_and_compute(w):
+            slot = jax.lax.rem(w, nbuf)
+            oslot = jax.lax.rem(w, nout)
+
+            # The rows slot is reused every `nout` waves: wait out the DMA
+            # that last used it before overwriting.
+            @pl.when(w >= nout)
+            def _():
+                pltpu.make_async_copy(
+                    rows_s.at[oslot], rows_ref.at[pl.ds(0, 2 * g), :], osems.at[oslot]
+                ).wait()
+
+            for k in range(g):
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(0, TR), :],
+                    scratch.at[slot, pl.ds(k * TR, TR), :],
+                    sems.at[slot],
+                ).wait()
+            tile = scratch[slot]
+            for k in range(g):
+                q = q_ref[w * g + k]
+                hh = tile[k * TR : k * TR + ROWS, :]
+                dd = jax.lax.bitcast_convert_type(
+                    tile[k * TR + ROWS : (k + 1) * TR, :], jnp.int32
+                )
+                comp = jnp.sum(
+                    (hh < q).astype(jnp.int32) + ((hh == q).astype(jnp.int32) << 12)
+                )
+                comp_ref[w * g + k] = comp
+                lt = comp & 0xFFF
+                r = jnp.minimum(lt >> 7, ROWS - 1)
+                r2 = jnp.minimum(r + 1, ROWS - 1)
+                rows_s[oslot, 2 * k : 2 * k + 1, :] = jnp.sum(
+                    jnp.where(rows_iota == r, dd, 0), axis=0, keepdims=True
+                )
+                rows_s[oslot, 2 * k + 1 : 2 * k + 2, :] = jnp.sum(
+                    jnp.where(rows_iota == r2, dd, 0), axis=0, keepdims=True
+                )
+            pltpu.make_async_copy(
+                rows_s.at[oslot],
+                rows_ref.at[pl.ds(w * 2 * g, 2 * g), :],
+                osems.at[oslot],
+            ).start()
+
+        n_w = comp_ref.shape[0] // g
+        for w in range(min(nbuf, n_w)):
+            start(w)
+
+        def body(w, _):
+            wait_and_compute(w)
+
+            @pl.when(w + nbuf < n_w)
+            def _():
+                start(w + nbuf)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_w, body, 0)
+        # Drain the trailing rows DMAs before the kernel returns.
+        for t in range(min(nout, n_w)):
+            w = n_w - min(nout, n_w) + t
+            oslot = w % nout
+            pltpu.make_async_copy(
+                rows_s.at[oslot], rows_ref.at[pl.ds(0, 2 * g), :], osems.at[oslot]
+            ).wait()
+
+    def call(bc, qc):
+        Lc = qc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, g * TR, 128), jnp.uint32),
+                pltpu.VMEM((nout, 2 * g, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.SemaphoreType.DMA((nout,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((Lc,), jnp.int32),
+                jax.ShapeDtypeStruct((2 * Lc, 128), jnp.int32),
+            ),
+            interpret=_use_interpret(),
+        )(bc, qc, inter2d)
+
+    (comp, rows), (blk, queries) = _chunked_stream(call, (blk, queries), L)
+    rows = jax.lax.bitcast_convert_type(
+        rows.reshape(blk.shape[0], 2, 128)[:L], jnp.uint32
+    )
+    comp = comp[:L]
+    lt = comp & jnp.int32(0xFFF)
+    lo = blk[:L] * BLOCK + lt
+    return lo, comp >> 12, rows
 
 
 def _resident_max_bytes() -> int:
