@@ -267,6 +267,9 @@ def block_lookup_wave(hashes: jax.Array, blk: jax.Array, queries: jax.Array, str
     from jax.experimental.pallas import tpu as pltpu
 
     g, nbuf = _wave_geometry()
+    # Only the hash rows are compared; in the interleaved layout (stride=2)
+    # they are the FIRST ROWS rows of each 2*ROWS-row tile, so the copy is
+    # always ROWS rows — stride only scales the source offset.
     R = stride * ROWS
 
     L = queries.shape[0]
@@ -278,8 +281,8 @@ def block_lookup_wave(hashes: jax.Array, blk: jax.Array, queries: jax.Array, str
             for k in range(g):
                 row0 = blk_ref[w * g + k] * R
                 pltpu.make_async_copy(
-                    hbm_ref.at[pl.ds(row0, R), :],
-                    scratch.at[slot, pl.ds(k * R, R), :],
+                    hbm_ref.at[pl.ds(row0, ROWS), :],
+                    scratch.at[slot, pl.ds(k * ROWS, ROWS), :],
                     sems.at[slot],
                 ).start()
 
@@ -287,14 +290,14 @@ def block_lookup_wave(hashes: jax.Array, blk: jax.Array, queries: jax.Array, str
             slot = jax.lax.rem(w, nbuf)
             for k in range(g):
                 pltpu.make_async_copy(
-                    hbm_ref.at[pl.ds(0, R), :],
-                    scratch.at[slot, pl.ds(k * R, R), :],
+                    hbm_ref.at[pl.ds(0, ROWS), :],
+                    scratch.at[slot, pl.ds(k * ROWS, ROWS), :],
                     sems.at[slot],
                 ).wait()
             tile = scratch[slot]
             for k in range(g):
                 q = q_ref[w * g + k]
-                hh = tile[k * R : k * R + ROWS, :]
+                hh = tile[k * ROWS : (k + 1) * ROWS, :]
                 comp_ref[w * g + k] = jnp.sum(
                     (hh < q).astype(jnp.int32) + ((hh == q).astype(jnp.int32) << 12)
                 )
@@ -322,7 +325,7 @@ def block_lookup_wave(hashes: jax.Array, blk: jax.Array, queries: jax.Array, str
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[
-                pltpu.VMEM((nbuf, g * R, 128), jnp.uint32),
+                pltpu.VMEM((nbuf, g * ROWS, 128), jnp.uint32),
                 pltpu.SemaphoreType.DMA((nbuf,)),
             ],
         )

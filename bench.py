@@ -257,7 +257,9 @@ def kernel_bench(jax, jnp):
     # Single-query device latency (the attached-chip serving latency floor:
     # a b=1 dispatch with no batching wait).
     pin1 = pack_inputs_np(qs[:1], lens[:1], limits[:1], min_scores[:1], pcts[:1])
-    qps1 = device_qps_fori(jax, params, file_tier, mem_tier, pin1, 1)
+    # b=1 iterations are ~0.1-0.2ms; a wider K spread keeps the slope well
+    # above the tunnel's RTT variance.
+    qps1 = device_qps_fori(jax, params, file_tier, mem_tier, pin1, 1, klo=16, khi=512)
     log(f"single-query device latency: {1000.0 / qps1:.2f}ms")
 
     return {
@@ -272,7 +274,7 @@ def kernel_bench(jax, jnp):
     }
 
 
-def device_qps_fori(jax, params, file_tier, mem_tier, pin_np, batch):
+def device_qps_fori(jax, params, file_tier, mem_tier, pin_np, batch, klo=4, khi=64):
     """True device throughput of the serving program: K search iterations
     inside ONE jitted fori_loop — no host dispatch per iteration, each
     iteration's queries perturbed by the previous result so nothing can be
@@ -306,15 +308,24 @@ def device_qps_fori(jax, params, file_tier, mem_tier, pin_np, batch):
 
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
+    # K=4 vs K=64 with a median of 3 reps each: at ~2ms/batch the old
+    # single-shot K=2/12 slope (20ms) drowned in the tunnel's RTT variance
+    # and could even come out negative (the 1e-6 clamp then reported a
+    # nonsense 256M qps).  The wider spread makes the slope ~120ms.
+    KLO, KHI, REPS = klo, khi, 3
     pin_warm = jax.device_put(jnp.asarray(pin_np))
-    pin_timed = jax.device_put(jnp.asarray(pin_np + np.uint32(1)))
-    times = {}
-    for k in (2, 12):
+    times = {KLO: [], KHI: []}
+    for k in (KLO, KHI):
         int(jax.device_get(run_k(k, params, file_tier, mem_tier, pin_warm)))  # compile+warm
-        t0 = time.time()
-        int(jax.device_get(run_k(k, params, file_tier, mem_tier, pin_timed)))
-        times[k] = time.time() - t0
-    per_batch = max((times[12] - times[2]) / 10, 1e-6)
+        for r in range(REPS):
+            pin_timed = jax.device_put(jnp.asarray(pin_np + np.uint32(1 + r)))
+            t0 = time.time()
+            int(jax.device_get(run_k(k, params, file_tier, mem_tier, pin_timed)))
+            times[k].append(time.time() - t0)
+    per_batch = max(
+        (sorted(times[KHI])[REPS // 2] - sorted(times[KLO])[REPS // 2]) / (KHI - KLO),
+        1e-6,
+    )
     return batch / per_batch
 
 

@@ -178,16 +178,22 @@ def run_phases(tag, params, file_tier, mem_tier, pin):
 
         return runK
 
+    # Dedup-proof + noise-robust: the timed inputs differ from the warm
+    # input (the axon client dedupes identical executions), K spread is
+    # wide, and the slope uses medians of 3 reps.
     pj = jax.device_put(jnp.asarray(pin))
+    KLO, KHI, REPS = 4, 64, 3
     for phase in ("ranges", "gather", "score", "newest", "full"):
         runK = make(phase)
-        times = {}
-        for K in (2, 12):
+        times = {KLO: [], KHI: []}
+        for K in (KLO, KHI):
             int(jax.device_get(runK(K, file_tier, mem_tier, pj)))
-            t0 = time.time()
-            int(jax.device_get(runK(K, file_tier, mem_tier, pj)))
-            times[K] = time.time() - t0
-        slope = (times[12] - times[2]) / 10
+            for r in range(REPS):
+                pj_t = jax.device_put(jnp.asarray(pin + np.uint32(1 + r)))
+                t0 = time.time()
+                int(jax.device_get(runK(K, file_tier, mem_tier, pj_t)))
+                times[K].append(time.time() - t0)
+        slope = (sorted(times[KHI])[REPS // 2] - sorted(times[KLO])[REPS // 2]) / (KHI - KLO)
         print(f"{tag} {phase}: {slope*1000:.2f} ms/batch", flush=True)
 
 

@@ -94,7 +94,17 @@ def test_cluster_end_to_end(cluster, tmp_path):
     # Delete/recreate bumps the generation everywhere; lineages never mix.
     requests.delete(a.url("/idx"))
     wait_until(lambda: requests.head(b.url("/idx")).status_code == 404, what="delete on b")
-    r = requests.put(b.url("/idx"))
+    # The recreate can race b's meta consumer still digesting the delete —
+    # a transient non-200 is retryable, like the reference e2e treats
+    # 503-while-bootstrapping as "poll on".
+    r = None
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        r = requests.put(b.url("/idx"))
+        if r.status_code == 200:
+            break
+        time.sleep(0.2)
+    assert r is not None and r.status_code == 200, (r.status_code, r.text)
     gen2 = r.json()["generation"]
     assert gen2 > gen
     wait_until(lambda: requests.head(a.url("/idx")).status_code == 200, what="recreate on a")
