@@ -78,11 +78,23 @@ def postings_cap(tier) -> int:
 
 
 def hash_index(idx):
-    """Map a flat posting index to its position in the interleaved array."""
+    """Map a flat posting index to its position in the interleaved array.
+
+    Unsigned on purpose: the interleaved array is TWICE the postings cap,
+    so at 1B+ postings its length crosses 2^31 and a signed-int32 gather
+    index makes jax constant-fold the (int32) array size for negative-index
+    normalization — an OverflowError at trace time.  Callers clip idx to
+    [0, cap), so unsigned is exact."""
+    import jax.numpy as jnp
+
+    idx = idx.astype(jnp.uint32)
     return ((idx >> _BLOCK_SHIFT) << (_BLOCK_SHIFT + 1)) + (idx & (BLOCK - 1))
 
 
 def docid_index(idx):
+    import jax.numpy as jnp
+
+    idx = idx.astype(jnp.uint32)
     return ((idx >> _BLOCK_SHIFT) << (_BLOCK_SHIFT + 1)) + BLOCK + (idx & (BLOCK - 1))
 
 

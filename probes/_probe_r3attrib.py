@@ -114,18 +114,28 @@ def phase_fn(phase):
 
 
 if __name__ == "__main__":
+    import os
+
     pj = jax.device_put(jnp.asarray(pin))
-    # Timed call runs DIFFERENT inputs than the warm call: the axon client
-    # dedupes identical executions (see bench.device_qps_fori).
-    pj2 = jax.device_put(jnp.asarray(pin + np.uint32(1)))
-    for phase in ("landing", "topidx", "emit_ranges", "direct", "matrix", "full"):
+    # Timed calls run DIFFERENT inputs than the warm call (the axon client
+    # dedupes identical executions); K spread is wide and the slope uses
+    # medians of 3 reps (single-shot K=2/12 drowned in tunnel RTT noise).
+    KLO, KHI, REPS = 4, 64, 3
+    phases = os.environ.get(
+        "R3ATTRIB", "landing,topidx,emit_ranges,direct,matrix,full"
+    ).split(",")
+    for phase in phases:
         runK = phase_fn(phase)
-        times = {}
-        for K in (2, 12):
+        times = {KLO: [], KHI: []}
+        for K in (KLO, KHI):
             int(jax.device_get(runK(K, inter_tier, mem_tier, pj)))  # compile + warm
-            t0 = time.time()
-            int(jax.device_get(runK(K, inter_tier, mem_tier, pj2)))
-            times[K] = time.time() - t0
-        slope = (times[12] - times[2]) / 10
+            for r in range(REPS):
+                pj_t = jax.device_put(jnp.asarray(pin + np.uint32(1 + r)))
+                t0 = time.time()
+                int(jax.device_get(runK(K, inter_tier, mem_tier, pj_t)))
+                times[K].append(time.time() - t0)
+        slope = (sorted(times[KHI])[REPS // 2] - sorted(times[KLO])[REPS // 2]) / (
+            KHI - KLO
+        )
         print(f"{phase}: {slope*1000:.2f} ms/batch ({BATCH/slope:.0f} qps)", flush=True)
     print("R3ATTRIBDONE", flush=True)
