@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from .binsearch import lower_bound
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar ON PURPOSE — see ops/search_kernel.py SENTINEL: a module-level
+# jnp scalar becomes a device-array jaxpr constant fetched at every lowering.
+import numpy as _np
+
+SENTINEL = _np.uint32(0xFFFFFFFF)
 
 
 @jax.jit

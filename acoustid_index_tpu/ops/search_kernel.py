@@ -46,7 +46,14 @@ import jax.numpy as jnp
 from .binsearch import lower_bound, steps_for, upper_bound
 from .layout import docid_gather, postings_cap
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar ON PURPOSE: a module-level jnp scalar is a DEVICE array that
+# every closing jaxpr captures as a constant — each lowering then fetches its
+# value from the device (a full tunnel RPC on axon, and the site of a
+# spurious RESOURCE_EXHAUSTED at 134M scale).  A numpy scalar lowers as an
+# inline literal with no device interaction and identical jnp semantics.
+import numpy as _np
+
+SENTINEL = _np.uint32(0xFFFFFFFF)
 
 # Pytree layout of one tier of a packed segment view (see engine/segments.py):
 #   hashes:   u32[CAP]   postings sort key, packed contiguously per segment

@@ -554,6 +554,43 @@ def e2e_read_write(idx, options, rng):
             off = (off + 200) % 6400
             stop_rw.wait(0.02)
 
+    # Warm pass: drive the writer's FULL closed id window once and compile
+    # every (batch-bucket, tier-shape) program the measured window can
+    # produce.  Without this, the first bench run after any kernel change
+    # eats minutes of compiles INSIDE the measurement window (r3 saw 180
+    # qps from exactly that); with it, the measured number is the serving
+    # capacity on warm programs regardless of the persistent-cache state.
+    from acoustid_index_tpu.engine.searcher import BATCH_SIZES, _params_for
+
+    t_warm = time.time()
+    base = E2E_DOCS + 1
+    q_warm = np.unique(
+        np.concatenate(
+            [
+                doc_hashes(np.array([1], np.uint32), HASHES_PER_DOC)[0][:20],
+                rng.integers(0, 2**32, NOISE_HASHES, dtype=np.uint32),
+            ]
+        )
+    )
+    padded = np.zeros(128, np.uint32)
+    padded[: q_warm.shape[0]] = q_warm
+    req_w = (padded, int(q_warm.shape[0]), options)
+    seen_shapes = set()
+    for off in range(0, 6400, 200):
+        ids = np.arange(base + off, base + off + 200, dtype=np.uint32)
+        hs = doc_hashes(ids, HASHES_PER_DOC)
+        idx.update([Insert(id=int(i), hashes=h.tolist()) for i, h in zip(ids, hs)])
+        snap_w = idx.acquire_reader()
+        key = tuple(
+            tuple(int(s) for s in np.shape(v))
+            for v in jax.tree_util.tree_leaves(snap_w.memory_view())
+        ) if hasattr(snap_w, "memory_view") else off
+        if key not in seen_shapes:
+            seen_shapes.add(key)
+            for b in BATCH_SIZES:
+                idx.searcher._run_batch_traced(snap_w, _params_for(128), [req_w] * b)
+    log(f"rw warm pass done ({time.time() - t_warm:.0f}s, {len(seen_shapes)} states)")
+
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
     try:
