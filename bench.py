@@ -429,10 +429,15 @@ def e2e_bench(jax):
             native = e2e_native(mi, rng)
             log(
                 f"native front {native.get('e2e_native_qps', 0):.0f} qps; "
+                "measuring host-only ceiling"
+            )
+            host_only = e2e_host_only(idx, options, rng)
+            log(
+                f"host-only ceiling {host_only.get('e2e_hostonly_qps', 0):.0f} qps; "
                 "measuring mixed read/write phase"
             )
             rw = e2e_read_write(idx, options, rng)
-            return {**closed, **open_loop, **native, **rw}
+            return {**closed, **open_loop, **native, **host_only, **rw}
         finally:
             mi._release_ref(ref)
             mi.close()
@@ -526,6 +531,54 @@ def e2e_native(mi, rng):
             os.unlink(blob_path)
 
 
+def e2e_host_only(idx, options, rng):
+    """The open-loop load with the DEVICE REMOVED: _launch returns a canned
+    packed output (numpy), so collect's device_get is a no-op and the
+    measured number is the pure host-pipeline ceiling — submit-side row
+    packing, dispatcher coalescing, queues, GIL, per-request materialize.
+    This attributes the e2e gap: e2e_pipeline ~= min(host ceiling,
+    device+transfer pipe), so (host_only_qps, pipeline_qps, device slope)
+    separate the three regimes in one bench line."""
+    import jax as _jax
+
+    from acoustid_index_tpu.engine.searcher import BATCH_SIZES, _params_for
+
+    searcher = idx.searcher
+    snapshot = idx.acquire_reader()
+    params = _params_for(128)
+    q0 = np.unique(
+        np.concatenate(
+            [
+                doc_hashes(np.array([1], np.uint32), HASHES_PER_DOC)[0][:20],
+                rng.integers(0, 2**32, NOISE_HASHES, dtype=np.uint32),
+            ]
+        )
+    )
+    req0 = (np.zeros(128, np.uint32), int(q0.shape[0]), options)
+    req0[0][: q0.shape[0]] = q0
+    canned = {}
+    real_launch = searcher._launch
+    for b in BATCH_SIZES:
+        canned[b] = np.asarray(
+            _jax.device_get(
+                real_launch(snapshot, params, searcher._pack_batch(params, [req0] * b, b))
+            )
+        )
+
+    def fake_launch(snap, p, packed_in):
+        return canned[packed_in.shape[0]]
+
+    searcher._launch = fake_launch
+    try:
+        out = e2e_open_loop(idx, options, rng)
+    finally:
+        searcher._launch = real_launch
+    return {
+        "e2e_hostonly_qps": out["e2e_pipeline_qps"],
+        "e2e_hostonly_queries": out["e2e_pipeline_queries"],
+    }
+
+
 def e2e_read_write(idx, options, rng):
     """Open-loop search load WITH a concurrent writer: exposes the S>1
     serving state (memory-tier segments between checkpoints) — the
@@ -581,10 +634,10 @@ def e2e_read_write(idx, options, rng):
         hs = doc_hashes(ids, HASHES_PER_DOC)
         idx.update([Insert(id=int(i), hashes=h.tolist()) for i, h in zip(ids, hs)])
         snap_w = idx.acquire_reader()
+        mv = snap_w.mem_view or {}
         key = tuple(
-            tuple(int(s) for s in np.shape(v))
-            for v in jax.tree_util.tree_leaves(snap_w.memory_view())
-        ) if hasattr(snap_w, "memory_view") else off
+            sorted((k, tuple(v.shape)) for k, v in mv.items() if hasattr(v, "shape"))
+        )
         if key not in seen_shapes:
             seen_shapes.add(key)
             for b in BATCH_SIZES:
@@ -755,7 +808,7 @@ def main():
                 "parity_gate_s": round(parity_s, 1),
                 **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
                 **m134,
-                "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state)",
+                "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_hostonly_qps is the same load with the device removed (canned launch results) = the pure host-path ceiling, so pipeline vs hostonly vs the device slope attributes the gap between host work, tunnel transfers, and device time; e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state)",
                 "device": str(dev),
                 "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
             }

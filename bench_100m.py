@@ -94,32 +94,40 @@ def run(jax, jnp) -> dict:
 
     t0 = time.time()
 
+    def hash_at(k):
+        # Hash of flat posting index k (band-major: k = j*N_DOCS + p).
+        j = (k >> DOC_BITS).astype(jnp.uint32)
+        p = k & jnp.uint32(N_DOCS - 1)
+        hot = ((p >> 6) + j) % (1 << 15) == 0
+        pair = jnp.logical_and((p + j) % 8 == 7, p > 0)
+        f = jnp.where(
+            hot,
+            (p & ~jnp.uint32(63)) * 4,
+            jnp.where(pair, (p - 1) * 4, p * 4),
+        )
+        return j * jnp.uint32(BAND) + f
+
     @jax.jit
     def make_tiers():
         # Sorted by construction: band-major, position-ascending (the f_j
-        # offsets are monotone nondecreasing in p — see _f_np).  Emits the
-        # INTERLEAVED layout (ops/layout.py) directly — hashes/docids are
-        # elementwise functions of iota, so XLA fuses them into the
-        # interleave copy and the peak stays ~one 8GiB buffer instead of
-        # pair + inter (which would exceed HBM at this scale).
-        p = jnp.arange(N_DOCS, dtype=jnp.uint32)
-        docs_per_band = bitrev27(p) + 1  # docid at sorted position p
-        bands = []
-        for j in range(HASHES_PER_DOC):
-            hot = ((p >> 6) + j) % (1 << 15) == 0
-            pair = jnp.logical_and((p + j) % 8 == 7, p > 0)
-            f = jnp.where(
-                hot,
-                (p & ~jnp.uint32(63)) * 4,
-                jnp.where(pair, (p - 1) * 4, p * 4),
-            )
-            bands.append(jnp.uint32(j * BAND) + f)
-        hashes = jnp.stack(bands).reshape(-1)
-        docids = jnp.broadcast_to(docs_per_band[None, :], (HASHES_PER_DOC, N_DOCS)).reshape(-1)
-        block_index = hashes[::BLOCK]
-        inter = jnp.stack(
-            [hashes.reshape(-1, BLOCK), docids.reshape(-1, BLOCK)], axis=1
-        ).reshape(-1)
+        # offsets are monotone nondecreasing in p — see _f_np).  The
+        # interleaved array is computed as a PURE ELEMENTWISE function of
+        # its own index: position i holds hashes[k] when the low 11 bits
+        # select the hash half of a 1024-pair block, docids[k] otherwise,
+        # with k = blk*1024 + (i & 1023) — so XLA fuses iota -> select ->
+        # store into one streaming write and the build peak is exactly the
+        # 8.6GB output buffer.  The earlier stack/broadcast/reshape form
+        # materialized hashes (4.3GB) + docids (4.3GB) + the 8.6GB output
+        # = 17GB peak: an HBM OOM that surfaced only at the next fetch.
+        i = jnp.arange(2 * n_postings, dtype=jnp.uint32)
+        blk = i >> 11
+        w = i & jnp.uint32(2047)
+        k = blk * jnp.uint32(BLOCK) + (w & jnp.uint32(BLOCK - 1))
+        p = k & jnp.uint32(N_DOCS - 1)
+        inter = jnp.where(w < BLOCK, hash_at(k), bitrev27(p) + 1)
+        block_index = hash_at(
+            jnp.arange(n_postings // BLOCK, dtype=jnp.uint32) * jnp.uint32(BLOCK)
+        )
         return inter, block_index
 
     inter, block_index = make_tiers()
