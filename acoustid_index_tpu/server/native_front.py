@@ -4,11 +4,17 @@ The C++ front end (native/aitpu_front.cc) owns the sockets and the entire
 per-request host path: HTTP parsing, JSON/msgpack decode, sanitization,
 query dedup, device-row packing, batching by (index, query bucket, out
 bucket), response encoding, and absolute-deadline enforcement.  This module
-is the other half: a few pump threads that claim packed row batches over a
-C ABI, run them through the device program, and hand packed output rows
-back — so Python's per-REQUEST serving cost is zero and its per-BATCH cost
-is two ctypes calls plus the JAX dispatch (the measured Python front end
-spends ~0.27ms of GIL-contended time per request; see SERVING.md).
+is the other half: pump threads claim packed row batches over a C ABI and
+LAUNCH them (JAX dispatch is asynchronous), collector threads fetch results
+and hand packed output rows back — so launches pipeline with in-flight
+transfers exactly like the Python dispatcher/collector split
+(engine/searcher.py).  A synchronous pump (launch, fetch, complete) would
+serialize a full device round trip per batch per pump — measured 7.8k qps
+on the dev tunnel vs the async pipeline's ceiling.
+
+Python's per-REQUEST serving cost is zero; its per-BATCH cost is two ctypes
+calls plus the JAX dispatch (the measured Python front end spends ~0.27ms
+of GIL-contended time per request; see SERVING.md).
 
 The control plane (CRUD, updates, snapshots, replication, metrics scrape)
 stays on the Python server; run both against one MultiIndex, like the
@@ -20,7 +26,9 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import queue
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -39,14 +47,28 @@ OUT_WORDS_MAX = 2 * 512 + 4  # largest out bucket, packed output row
 class NativeFront:
     """Runs aitpu_front on `port` and pumps its batches through `mi`."""
 
-    def __init__(self, mi, port: int, pumps: int = 4, max_conns: int = 512):
+    def __init__(
+        self,
+        mi,
+        port: int,
+        pumps: int = 4,
+        max_conns: int = 512,
+        collectors: Optional[int] = None,
+        max_inflight: int = 8,
+    ):
         self.mi = mi
         self.port = port
         self.pumps = pumps
+        self.collectors = collectors if collectors is not None else max(2, pumps)
         self.max_conns = max_conns
         self.lib = None
         self.handle = None
         self._threads = []
+        self._collect_threads = []
+        # Bounds launched-not-yet-fetched batches on the device queue,
+        # shared across pumps (same role as the searcher's MAX_IN_FLIGHT).
+        self._inflight = threading.BoundedSemaphore(max_inflight)
+        self._cq: queue.Queue = queue.Queue()
         self._stopping = False
 
     def start(self) -> None:
@@ -58,11 +80,22 @@ class NativeFront:
             raise RuntimeError(f"native front failed to bind port {self.port}")
         self.handle = h
         self.port = int(self.lib.aitpu_front_stat(h, 5))  # resolves port 0
+        for i in range(self.collectors):
+            t = threading.Thread(
+                target=self._collect_loop, name=f"aitpu-pump-collect-{i}", daemon=True
+            )
+            t.start()
+            self._collect_threads.append(t)
         for i in range(self.pumps):
             t = threading.Thread(target=self._pump_loop, name=f"aitpu-pump-{i}", daemon=True)
             t.start()
             self._threads.append(t)
-        log.info("native search front listening on 127.0.0.1:%d (%d pumps)", self.port, self.pumps)
+        log.info(
+            "native search front listening on 127.0.0.1:%d (%d pumps, %d collectors)",
+            self.port,
+            self.pumps,
+            self.collectors,
+        )
 
     def stop(self) -> None:
         self._stopping = True
@@ -70,6 +103,12 @@ class NativeFront:
             self.lib.aitpu_front_stop(self.handle)
         for t in self._threads:
             t.join(timeout=10)
+        # Sentinels AFTER the pumps stop launching: FIFO puts them behind
+        # the final launched batch, so collectors drain everything first.
+        for _ in self._collect_threads:
+            self._cq.put(None)
+        for t in self._collect_threads:
+            t.join(timeout=30)
         self.handle = None
 
     def stat(self, which: int) -> int:
@@ -78,7 +117,7 @@ class NativeFront:
     # ---- pump ----
 
     def _pump_loop(self) -> None:
-        import jax
+        import jax  # noqa: F401 — ensures the backend is initialized in-thread
 
         u32 = ctypes.POINTER(ctypes.c_uint32)
         name_buf = (ctypes.c_uint8 * 256)()
@@ -104,7 +143,7 @@ class NativeFront:
             name = bytes(name_buf[: int(meta[2])]).decode("utf-8", "replace")
             batch_rows = rows[: n * (bucket + 4)].reshape(n, bucket + 4)
             try:
-                self._run_group(jax, name, bucket, out_bucket, batch_rows, tokens[:n])
+                self._launch_group(name, bucket, out_bucket, batch_rows, tokens[:n])
             except errors.IndexError_ as exc:
                 self._fail(tokens[:n], exc.status, exc.name)
             except Exception as exc:  # noqa: BLE001 — per-batch isolation
@@ -114,15 +153,17 @@ class NativeFront:
     def _fail(self, tokens: np.ndarray, status: int, name: str) -> None:
         self.lib.aitpu_front_fail(
             self.handle,
-            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            np.ascontiguousarray(tokens).ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             len(tokens),
             status,
             name.encode(),
         )
 
-    def _run_group(self, jax, name, bucket, out_bucket, batch_rows, tokens) -> None:
-        import time as _time
-
+    def _launch_group(self, name, bucket, out_bucket, batch_rows, tokens) -> None:
+        """Claims one (index, bucket) group: launches warm-sized chunks and
+        hands the device handles to the collectors.  Launch only — the
+        fetch happens in _collect_loop, so chunk N+1's transfer overlaps
+        chunk N's execution and the pumps never hold a round trip."""
         mi = self.mi
         ref = mi._get_ref(name)  # raises IndexNotFound
         try:
@@ -137,9 +178,8 @@ class NativeFront:
             out_words = 2 * out_bucket + 4
             if snapshot.file_view is None or snapshot.mem_view is None:
                 out = np.zeros((n, out_words), np.uint32)
-                self._complete(name, tokens, out, out_words)
+                self._complete(name, tokens.copy(), out, out_words)
                 return
-            start = _time.monotonic()
             done = 0
             while done < n:
                 # Warm-bucket sizing mirrors the Python dispatcher: a cold
@@ -150,15 +190,42 @@ class NativeFront:
                 b = searcher._pick_batch_size(snapshot, params, chunk.shape[0])
                 m = min(chunk.shape[0], b)
                 packed = searcher._pack_rows(params, chunk[:m], b)
-                handle = searcher._launch(snapshot, params, packed)
+                self._inflight.acquire()
+                try:
+                    handle = searcher._launch(snapshot, params, packed)
+                except BaseException:
+                    self._inflight.release()
+                    raise
                 searcher._warm.add(searcher._shape_key(snapshot, params, b))
-                out = np.asarray(jax.device_get(handle))[:m]
-                self._complete(name, tokens[done : done + m], out, out_words)
+                # tokens is a reused per-pump buffer: copy the slice, the
+                # next claim overwrites it while the collector still needs
+                # these values.
+                self._cq.put(
+                    (name, handle, tokens[done : done + m].copy(), out_words, time.monotonic())
+                )
                 done += m
-            dt = _time.monotonic() - start
-            metrics.observe_search_seconds(name, dt / max(n, 1))
         finally:
             mi._release_ref(ref)
+
+    def _collect_loop(self) -> None:
+        import jax
+
+        while True:
+            item = self._cq.get()
+            if item is None:
+                return
+            name, handle, toks, out_words, t_launch = item
+            try:
+                out = np.asarray(jax.device_get(handle))[: len(toks)]
+                self._complete(name, toks, out, out_words)
+                metrics.observe_search_seconds(
+                    name, (time.monotonic() - t_launch) / max(len(toks), 1)
+                )
+            except Exception as exc:  # noqa: BLE001 — per-batch isolation
+                log.exception("native collect batch failed", exc_info=exc)
+                self._fail(toks, 500, "InternalError")
+            finally:
+                self._inflight.release()
 
     def _complete(self, name: str, tokens: np.ndarray, out: np.ndarray, out_words: int) -> None:
         out = np.ascontiguousarray(out, dtype=np.uint32)
