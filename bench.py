@@ -652,12 +652,51 @@ def e2e_read_write(idx, options, rng):
         stop_rw.set()
         wt.join(timeout=30)
     snap = idx.acquire_reader()
+
+    # Tunnel-immune device slope of the final write-heavy (S>1) snapshot.
+    # The open-loop number above is a DEV-TUNNEL artifact at this write
+    # rate: the tunnel serializes RPCs, so every update's memory-tier
+    # upload queues behind the in-flight search fetches (and vice versa) —
+    # measured ~5s per 200-doc update while 2048 searches are in flight,
+    # which starves both sides.  On attached chips those transfers are
+    # sub-ms; the number that survives is the device cost of serving the
+    # multi-segment snapshot itself, so measure that directly.
+    rw_dev = {}
+    try:
+        import jax
+
+        from acoustid_index_tpu.engine.searcher import _params_for
+        from acoustid_index_tpu.engine.segments import tier_view_for_search
+        from acoustid_index_tpu.ops.search_kernel import pack_inputs_np
+
+        params = _params_for(128)
+        _, qs, lens = make_queries(rng, BATCH, params.query_len, E2E_DOCS)
+        pin = pack_inputs_np(
+            qs,
+            lens,
+            np.full(BATCH, 40, np.int32),
+            np.full(BATCH, 6, np.int32),
+            np.full(BATCH, 10, np.int32),
+        )
+        rw_dev["e2e_rw_device_qps"] = device_qps_fori(
+            jax,
+            params,
+            tier_view_for_search(snap.file_view),
+            tier_view_for_search(snap.mem_view),
+            pin,
+            BATCH,
+        )
+        log(f"rw device slope {rw_dev['e2e_rw_device_qps']:.0f} qps (S={snap.num_segments()})")
+    except Exception as exc:  # noqa: BLE001 — keep the bench line on failure
+        rw_dev["e2e_rw_device_qps_error"] = f"{type(exc).__name__}: {exc}"[:160]
+
     return {
         "e2e_rw_qps": out["e2e_pipeline_qps"],
         "e2e_rw_queries": out["e2e_pipeline_queries"],
         "e2e_rw_miss_rate": out["e2e_pipeline_miss_rate"],
         "e2e_rw_writes": writes[0],
         "e2e_rw_segments": snap.num_segments(),
+        **rw_dev,
     }
 
 
@@ -808,7 +847,7 @@ def main():
                 "parity_gate_s": round(parity_s, 1),
                 **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
                 **m134,
-                "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_hostonly_qps is the same load with the device removed (canned launch results) = the pure host-path ceiling, so pipeline vs hostonly vs the device slope attributes the gap between host work, tunnel transfers, and device time; e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state)",
+                "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_hostonly_qps is the same load with the device removed (canned launch results) = the pure host-path ceiling, so pipeline vs hostonly vs the device slope attributes the gap between host work, tunnel transfers, and device time; e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state; its open-loop qps is tunnel-bound — per-update tier uploads serialize against search fetches on the dev tunnel — so e2e_rw_device_qps reports the tunnel-immune device slope of the final S>1 snapshot, the attached-chip number)",
                 "device": str(dev),
                 "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
             }
