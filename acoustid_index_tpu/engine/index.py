@@ -103,6 +103,10 @@ class Index:
             segments_per_level=10,
         )
 
+        # Restart path: start compiling the serving program for the loaded
+        # tiers before the first request arrives (see _swap).
+        self.searcher.warm_async(snapshot)
+
     # ---- open / close ----
 
     @classmethod
@@ -324,6 +328,12 @@ class Index:
         self.file_commit_id = snap.file_commit_id
         self.version = snap.version
         self.file_version = snap.file_version
+        # Start compiling the serving program for any NEW view shapes now,
+        # off the search path — the first search after a cold shape change
+        # would otherwise pay the whole compile inline and time out
+        # everything queued behind it.  One background launch per converged
+        # shape set (sticky high-water shapes), deduped inside.
+        self.searcher.warm_async(snap)
 
     # ---- maintenance ops ----
 

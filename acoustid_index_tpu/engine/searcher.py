@@ -192,6 +192,10 @@ class Searcher:
         (BatchingSearcher overrides with the real pipeline)."""
         return _ImmediateResult(self.search(snapshot, query, options, deadline))
 
+    def warm_async(self, snapshot) -> None:
+        """Kick a background compile for this snapshot's view shapes (no-op
+        here; BatchingSearcher overrides with the real precompiler)."""
+
 
 class _ImmediateResult:
     __slots__ = ("_value",)
@@ -606,6 +610,49 @@ class BatchingSearcher(Searcher):
         fitting = [b for b in warm if b >= n]
         return fitting[0] if fitting else warm[-1]
 
+    def warm_async(self, snapshot) -> None:
+        """Background-compile the default serving program (the ~120-hash
+        bucket at b=1) for this snapshot's view shapes if it is cold.
+
+        The engine calls this on every snapshot install: without it the
+        first search after a shape change pays the whole compile inline
+        (minutes on a tunneled TPU, seconds attached) and every request
+        queued behind it hits its deadline — the reference has no compile
+        concept, so the analogous operational bar is "a freshly written
+        index serves as soon as possible", and starting the compile at
+        WRITE time instead of first-search time is the cheap half of that.
+        Sticky high-water view shapes (see _pack_sticky) make this one
+        compile per converged shape set, not one per write; the
+        precompiler holds only a weakref, so a superseded snapshot is
+        never pinned."""
+        if snapshot.file_view is None or snapshot.mem_view is None:
+            return
+        params = _params_for(QUERY_BUCKETS[1])
+        key = self._shape_key(snapshot, params, 1)
+        # Dedupe on _warm only, NOT on _precompiling: a queued item for the
+        # same shape may hold a weakref to a snapshot this very swap just
+        # superseded — the loop will skip it dead, and deduping against it
+        # would leave the shape cold forever.  This item carries its own
+        # (live) snapshot; the loop re-checks _warm before launching, so a
+        # burst of swaps at one shape costs one compile + fast skips.
+        if key in self._warm:
+            return
+        with self._qcond:
+            if self._stopping:
+                return
+            self._ensure_threads_locked()
+            # These views ARE the owner's latest (a swap precedes the call);
+            # without this a write-then-no-search flow would look superseded
+            # to the precompiler's staleness check and be skipped.
+            self._latest_group[snapshot.file_view.get("owner")] = (
+                snapshot.file_view.get("view_token", id(snapshot.file_view)),
+                snapshot.mem_view.get("view_token", id(snapshot.mem_view)),
+            )
+        import weakref
+
+        self._precompiling.add(key)
+        self._precompile_q.put((weakref.ref(snapshot), params, 1, key))
+
     def _precompile_loop(self) -> None:
         """Compiles exact batch buckets off the dispatch path.  The dummy
         launch's result is never fetched; its device time is one wasted
@@ -616,6 +663,8 @@ class BatchingSearcher(Searcher):
                 return
             snapshot_ref, params, b, key = item
             try:
+                if key in self._warm:
+                    continue  # a sibling item already warmed this shape
                 snapshot = snapshot_ref()
                 if snapshot is None or snapshot.file_view is None:
                     continue  # snapshot superseded and collected: moot

@@ -182,3 +182,43 @@ def test_warm_defaults_cover_primary_serving_bucket(snap):
     warm_qlens = {key[0].query_len for key in s._warm}
     assert 128 in warm_qlens, warm_qlens
     s.close()
+
+
+def test_warm_async_precompiles_serving_bucket(snap):
+    """warm_async (called by the engine on every snapshot install) must
+    compile the ~120-hash serving program in the BACKGROUND — so the first
+    real search after a write/restart doesn't pay the compile inline."""
+    s = RecordingSearcher()
+    try:
+        s.warm_async(snap)
+        deadline = time.time() + 60
+        key = s._shape_key(snap, _params_for(128), 1)
+        while key not in s._warm and time.time() < deadline:
+            time.sleep(0.05)
+        assert key in s._warm, "background warm never landed"
+        assert s.precompiled == [1], s.precompiled  # one b=1 background launch
+        assert s.launched == [], s.launched  # nothing through the dispatcher
+        # Re-kick on the same shapes: deduped, no second launch.
+        s.warm_async(snap)
+        time.sleep(0.2)
+        assert s.precompiled == [1], s.precompiled
+    finally:
+        s.close()
+
+
+def test_index_write_triggers_background_warm(tmp_path):
+    """An Index write installs a snapshot with fresh memory-tier shapes;
+    the engine must hand them to the background precompiler."""
+    from acoustid_index_tpu.engine.index import Index
+
+    s = RecordingSearcher()
+    idx = Index.open(str(tmp_path), searcher=s, sync=False)
+    try:
+        idx.update([Insert(id=1, hashes=[1, 2, 3])])
+        deadline = time.time() + 60
+        while not s.precompiled and time.time() < deadline:
+            time.sleep(0.05)
+        assert s.precompiled, "write did not trigger a background warm"
+    finally:
+        idx.close()
+        s.close()
