@@ -86,6 +86,7 @@ class FileCoordinator(MemoryCoordinator):
         self._current_size = 0
         self._total_log_size = 0
         self._next_ordinal = 0
+        self._broken = False  # fail-stop after an unrecoverable log write
         self._io_lock = threading.Lock()
         os.makedirs(dir_path, exist_ok=True)
         self._load()
@@ -167,12 +168,34 @@ class FileCoordinator(MemoryCoordinator):
         payload = msgpack.packb(body, use_bin_type=True)
         header = RECORD_HEADER.pack(len(payload), zlib.crc32(payload))
         with self._io_lock:
+            if self._broken:
+                raise errors.CoordinatorError("record log failed; restart to recover")
             fh = self._get_file()
-            fh.write(header)
-            fh.write(payload)
-            fh.flush()
-            if self.sync:
-                os.fsync(fh.fileno())
+            # _current_size is the durable end of the file: a failed write
+            # (e.g. ENOSPC at flush) may leave torn bytes past it, and later
+            # acknowledged records appended BEHIND a torn region would be
+            # destroyed by replay's torn-tail truncation.  Roll back to the
+            # durable end on any failure; if the rollback itself fails,
+            # fail-stop this log (replay truncates the tail at next open).
+            start = self._current_size
+            try:
+                fh.write(header)
+                fh.write(payload)
+                fh.flush()
+                if self.sync:
+                    os.fsync(fh.fileno())
+            except Exception:
+                try:
+                    fh.truncate(start)
+                    fh.flush()
+                except Exception:
+                    self._broken = True
+                    try:
+                        fh.close()
+                    except Exception:
+                        pass
+                    self._fh = None
+                raise
             self._current_size += len(header) + len(payload)
             self._total_log_size += len(header) + len(payload)
             self._next_ordinal += 1

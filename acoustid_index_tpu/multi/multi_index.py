@@ -74,7 +74,11 @@ class MultiIndex:
         # --load-concurrency N bounds total concurrent segment loads (the
         # reference's shared semaphore, MultiIndex.zig:201-223); the
         # per-index × per-manager pool product would otherwise allow N×N.
-        self._load_semaphore = threading.Semaphore(load_concurrency or 8)
+        # None/0 = unlimited (no semaphore, per --load-concurrency's help;
+        # each index still bounds its own pool at min(8, segments)).
+        self._load_semaphore = (
+            threading.Semaphore(load_concurrency) if load_concurrency else None
+        )
         self.searcher = searcher or default_searcher()
         self.replication = None  # set by start_replication (cluster mode)
 

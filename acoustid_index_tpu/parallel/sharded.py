@@ -105,7 +105,6 @@ def _pack_tier_sharded(
             per_shard_alive[k].append(seg.docs_alive[dcuts[k] : dcuts[k + 1]].astype(np.int32))
 
     cmin, dmin, mmin = min_caps or (min_cap, min_cap, min_cap)
-    cap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_items), default=1), cmin)
     dcap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_docs), default=1), dmin)
 
     # Per-shard merged mention table (docid -> newest tier-local ordinal).

@@ -34,11 +34,14 @@ class _Hist:
         self.sum = 0.0
 
     def observe(self, v: float):
+        # counts[i] is per-bucket (range (buckets[i-1], buckets[i]]);
+        # render() accumulates into the cumulative le-series.
         self.total += 1
         self.sum += v
         for i, b in enumerate(self.buckets):
             if v <= b:
                 self.counts[i] += 1
+                break
 
 
 _counters: Dict[Tuple[str, str], int] = defaultdict(int)  # (metric, index) -> n
@@ -85,12 +88,19 @@ def inc_file_merges():
         _globals["file_merges"] += 1
 
 
-def observe_search_seconds(index: str, seconds: float):
+def observe_search_seconds(index: str, seconds: float, n: int = 1):
+    """Record `n` requests that each took `seconds` (n>1: a batch whose
+    members share one wall time, e.g. the native front's device fetch)."""
     with _lock:
         h = _search_seconds.get(index)
         if h is None:
             h = _search_seconds[index] = _Hist(SEARCH_SECONDS_BUCKETS)
-        h.observe(seconds)
+        h.total += n
+        h.sum += seconds * n
+        for i, b in enumerate(h.buckets):
+            if seconds <= b:
+                h.counts[i] += n
+                break
 
 
 def observe_postings_scanned(n: int):
@@ -106,8 +116,11 @@ def _observe_many(h: "_Hist", values) -> None:
     vals = np.asarray(values)
     h.total += int(vals.size)
     h.sum += float(vals.sum())
+    prev = None
     for i, b in enumerate(h.buckets):
-        h.counts[i] += int(np.count_nonzero(vals <= b))
+        le = np.count_nonzero(vals <= b)
+        h.counts[i] += int(le) - int(prev or 0)
+        prev = le
 
 
 def observe_postings_scanned_many(values) -> None:

@@ -182,27 +182,42 @@ class NativeFront:
                 return
             done = 0
             while done < n:
-                # Warm-bucket sizing mirrors the Python dispatcher: a cold
-                # exact size would stall this pump for a full compile, so
-                # chunk at the largest warm size while the exact bucket
-                # compiles in the background (searcher._pick_batch_size).
-                chunk = batch_rows[done:]
-                b = searcher._pick_batch_size(snapshot, params, chunk.shape[0])
-                m = min(chunk.shape[0], b)
-                packed = searcher._pack_rows(params, chunk[:m], b)
-                self._inflight.acquire()
+                # Chunks already handed to the collectors (tokens[:done])
+                # will be resolved there; a failure mid-group must fail
+                # ONLY the remainder — failing a token twice is a
+                # use-after-free on the C++ side (aitpu_front.cc: every
+                # claimed token is returned through complete() or fail()
+                # exactly once).
                 try:
-                    handle = searcher._launch(snapshot, params, packed)
-                except BaseException:
-                    self._inflight.release()
-                    raise
-                searcher._warm.add(searcher._shape_key(snapshot, params, b))
-                # tokens is a reused per-pump buffer: copy the slice, the
-                # next claim overwrites it while the collector still needs
-                # these values.
-                self._cq.put(
-                    (name, handle, tokens[done : done + m].copy(), out_words, time.monotonic())
-                )
+                    # Warm-bucket sizing mirrors the Python dispatcher: a
+                    # cold exact size would stall this pump for a full
+                    # compile, so chunk at the largest warm size while the
+                    # exact bucket compiles in the background
+                    # (searcher._pick_batch_size).
+                    chunk = batch_rows[done:]
+                    b = searcher._pick_batch_size(snapshot, params, chunk.shape[0])
+                    m = min(chunk.shape[0], b)
+                    packed = searcher._pack_rows(params, chunk[:m], b)
+                    self._inflight.acquire()
+                    try:
+                        handle = searcher._launch(snapshot, params, packed)
+                    except BaseException:
+                        self._inflight.release()
+                        raise
+                    searcher._warm.add(searcher._shape_key(snapshot, params, b))
+                    # tokens is a reused per-pump buffer: copy the slice,
+                    # the next claim overwrites it while the collector
+                    # still needs these values.
+                    self._cq.put(
+                        (name, handle, tokens[done : done + m].copy(), out_words, time.monotonic())
+                    )
+                except errors.IndexError_ as exc:
+                    self._fail(tokens[done:n], exc.status, exc.name)
+                    return
+                except Exception as exc:  # noqa: BLE001 — per-batch isolation
+                    log.exception("native pump chunk failed", exc_info=exc)
+                    self._fail(tokens[done:n], 500, "InternalError")
+                    return
                 done += m
         finally:
             mi._release_ref(ref)
@@ -218,8 +233,11 @@ class NativeFront:
             try:
                 out = np.asarray(jax.device_get(handle))[: len(toks)]
                 self._complete(name, toks, out, out_words)
+                # Every request in the batch experienced the full
+                # launch-to-fetch wall time (C++-side queueing excluded);
+                # dividing by batch size would understate latency ~250x.
                 metrics.observe_search_seconds(
-                    name, (time.monotonic() - t_launch) / max(len(toks), 1)
+                    name, time.monotonic() - t_launch, n=len(toks)
                 )
             except Exception as exc:  # noqa: BLE001 — per-batch isolation
                 log.exception("native collect batch failed", exc_info=exc)

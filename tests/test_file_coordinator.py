@@ -137,6 +137,88 @@ def test_torn_first_record_does_not_eat_later_appends(tmp_path):
     c3.close()
 
 
+def test_failed_write_rolls_back_torn_bytes(tmp_path):
+    """A write that fails mid-record (e.g. ENOSPC at flush) must roll the
+    file back to its durable end: otherwise the NEXT successful,
+    acknowledged append lands BEHIND the torn bytes, and replay's
+    torn-tail truncation destroys it on restart."""
+    c = mk(tmp_path)
+    gen = c.create_index("main")
+    c.append("main", gen, [Insert(1, (10,))], expected=None)
+
+    class TornWriteFile:
+        """Writes half the bytes, then fails — a partial flush."""
+
+        def __init__(self, fh):
+            self._fh = fh
+            self._failed = False
+
+        def write(self, b):
+            if not self._failed:
+                self._fh.write(b[: max(1, len(b) // 2)])
+                self._fh.flush()
+                self._failed = True
+                raise OSError(28, "No space left on device")
+            return self._fh.write(b)
+
+        def __getattr__(self, name):
+            return getattr(self._fh, name)
+
+    real = c._get_file()
+    c._fh = TornWriteFile(real)
+    with pytest.raises(OSError):
+        c.append("main", gen, [Insert(2, (20,))], expected=1)
+    c._fh = real  # the proxy only exists to inject the failure
+
+    # Acknowledged after the failure — must survive restarts.
+    c.append("main", gen, [Insert(3, (30,))], expected=1)
+    c.close()
+
+    c2 = mk(tmp_path)
+    entries = c2.read("main", gen, after=0, max_entries=10, deadline=past())
+    assert [e.change for e in entries] == [Insert(1, (10,)), Insert(3, (30,))]
+    assert c2.last_seq("main", gen) == 2
+    c2.close()
+
+
+def test_unrecoverable_write_fail_stops(tmp_path):
+    """If the rollback truncate also fails, the coordinator must fail-stop
+    (refuse further appends) rather than risk acked records behind torn
+    bytes; a restart recovers via torn-tail truncation."""
+    c = mk(tmp_path)
+    gen = c.create_index("main")
+
+    class BrokenFile:
+        def __init__(self, fh):
+            self._fh = fh
+
+        def write(self, b):
+            self._fh.write(b[: max(1, len(b) // 2)])
+            self._fh.flush()
+            raise OSError(28, "No space left on device")
+
+        def truncate(self, *a):
+            raise OSError(5, "Input/output error")
+
+        def __getattr__(self, name):
+            return getattr(self._fh, name)
+
+    c._fh = BrokenFile(c._get_file())
+    with pytest.raises(OSError):
+        c.append("main", gen, [Insert(1, (10,))], expected=None)
+    assert c._broken
+    with pytest.raises(errors.CoordinatorError):
+        c.append("main", gen, [Insert(2, (20,))], expected=None)
+    c.close()
+
+    c2 = mk(tmp_path)  # restart: torn tail truncated, create survived
+    assert c2.active_indexes() == {"main": gen}
+    assert c2.last_seq("main", gen) == 0
+    gen_dir_ok = c2.append("main", gen, [Insert(5, (50,))], expected=0)
+    assert gen_dir_ok == 1
+    c2.close()
+
+
 def test_compaction_and_reopen(tmp_path):
     c = mk(tmp_path)
     gen, gen2 = fill(c)
