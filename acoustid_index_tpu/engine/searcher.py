@@ -38,6 +38,9 @@ class SearchStats:
     # both tiers) — the reference's scanned-docs-per-hash load-skew signal
     # (metrics.zig:96-101), computed on device.
     max_per_hash: int = 0
+    # Max postings BLOCKS any single hash's run spanned (both tiers) — the
+    # reference's scanned-blocks-per-hash series (metrics.zig:96-101).
+    max_blocks_per_hash: int = 0
 
 
 def _out_bucket_for(limit: int) -> int:
@@ -184,6 +187,7 @@ class Searcher:
             postings_scanned=int(out["postings_scanned"]),
             truncated=bool(out["truncated"]),
             max_per_hash=int(out.get("max_per_hash", 0)),
+            max_blocks_per_hash=int(out.get("max_blocks_per_hash", 0)),
         )
         return results, stats
 
@@ -302,6 +306,11 @@ class BatchingSearcher(Searcher):
         self._warm = set()
         self._precompiling = set()
         self._shape_cache: Dict[int, tuple] = {}
+        # Abandoned-work accounting (see _purge_expired): requests resolved
+        # as expired before their batch launched, and batches whose every
+        # member expired so the device launch was skipped entirely.
+        self.abandoned_prelaunch = 0
+        self.launches_skipped = 0
         # (file token, mem token) of the most recently submitted request —
         # lets the precompiler drop requests for superseded views.
         # Latest (file,mem) view tokens PER OWNER index: the precompiler
@@ -449,6 +458,35 @@ class BatchingSearcher(Searcher):
                 self._threads = None
                 self._stopping = False
 
+    def _purge_expired(self, batch: List[_PendingSearch]) -> List[_PendingSearch]:
+        """Resolve CLAIMED requests whose absolute deadline already passed
+        (as the timeout their waiting caller has seen or is about to see)
+        and return the still-live remainder."""
+        now = time.monotonic()
+        if not any(r.deadline is not None and now >= r.deadline for r in batch):
+            return batch
+        from .errors import SearchTimeout
+
+        live = []
+        n_expired = 0
+        for r in batch:
+            if r.deadline is not None and now >= r.deadline:
+                r.state = _PendingSearch.ABANDONED
+                r.snapshot = None
+                r.error = SearchTimeout("search deadline expired while batched")
+                r.done.set()
+                n_expired += 1
+            else:
+                live.append(r)
+        self.abandoned_prelaunch += n_expired
+        try:
+            from ..server import metrics
+
+            metrics.inc_searches_abandoned(n_expired)
+        except Exception:  # noqa: BLE001 — metrics never fail the op
+            pass
+        return live
+
     def _claim_locked(self, key=None, space=MAX_BATCH) -> List[_PendingSearch]:
         """Pop up to `space` same-group requests (group of the queue head
         when `key` is None).  Abandoned requests are dropped on the floor."""
@@ -504,6 +542,27 @@ class BatchingSearcher(Searcher):
             with self._qlock:
                 batch.extend(self._claim_locked(key, MAX_BATCH - len(batch)))
                 self._inflight += 1
+            # Purge members already past their absolute deadline: launching
+            # them spends device time and an in-flight slot on work nobody
+            # can consume.  The reference's timeout cancels a RUNNING scan
+            # at per-hash yields (MultiIndex.zig:311-316, zio.maybeYield);
+            # our kernel is one bounded launch, so the last cancellation
+            # point is here, just before dispatch.  Under deadline pressure
+            # (e.g. a cold-compile stall backing the queue up) whole batches
+            # expire and the launch is skipped entirely.
+            batch = self._purge_expired(batch)
+            if not batch:
+                with self._qlock:
+                    self._inflight -= 1
+                self._inflight_sem.release()
+                self.launches_skipped += 1
+                try:
+                    from ..server import metrics
+
+                    metrics.inc_search_launches_skipped()
+                except Exception:  # noqa: BLE001 — metrics never fail the op
+                    pass
+                continue
             params = _params_for(key[2], key[3])
             snapshot = batch[0].snapshot
             b = self._pick_batch_size(snapshot, params, len(batch))
@@ -819,14 +878,15 @@ class BatchingSearcher(Searcher):
             postings_scanned=int(out["postings_scanned"]),
             truncated=bool(out["truncated"]),
             max_per_hash=int(out.get("max_per_hash", 0)),
+            max_blocks_per_hash=int(out.get("max_blocks_per_hash", 0)),
         )
         return results, stats
 
     @staticmethod
     def _materialize_row(row, out_len: int):
         """Parse one packed output row (see ops.search_kernel.pack_outputs:
-        ids | scores | count | postings_scanned | truncated | max_per_hash)
-        in the caller's thread."""
+        ids | scores | count | postings_scanned | truncated | max_per_hash
+        | max_blocks_per_hash) in the caller's thread."""
         n = int(row[2 * out_len])
         results = [
             SearchResult(id=int(row[i]), score=int(row[out_len + i])) for i in range(n)
@@ -835,6 +895,7 @@ class BatchingSearcher(Searcher):
             postings_scanned=int(row[2 * out_len + 1]),
             truncated=bool(row[2 * out_len + 2]),
             max_per_hash=int(row[2 * out_len + 3]),
+            max_blocks_per_hash=int(row[2 * out_len + 4]),
         )
         return results, stats
 

@@ -179,6 +179,7 @@ class MultiIndex:
             metrics.observe_search_seconds(name, time.monotonic() - start)
             metrics.observe_postings_scanned(stats.postings_scanned)
             metrics.observe_max_postings_per_hash(stats.max_per_hash)
+            metrics.observe_scanned_blocks_per_hash(stats.max_blocks_per_hash)
             if results:
                 metrics.inc_search_hit(name)
             else:

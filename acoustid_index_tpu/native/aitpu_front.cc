@@ -971,7 +971,8 @@ int64_t aitpu_front_next(int64_t handle, uint8_t* name_buf, uint32_t* meta,
 }
 
 // Completes n claimed requests with packed output rows (out_words u32 per
-// request: ids | scores | count | postings_scanned | truncated | max_ph).
+// request: ids | scores | count | postings_scanned | truncated | max_ph |
+// max_blocks_ph).
 int64_t aitpu_front_complete(int64_t handle, const uint64_t* tokens,
                              const uint32_t* out_rows, int64_t n,
                              int64_t out_words) {

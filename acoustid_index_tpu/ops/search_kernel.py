@@ -622,6 +622,18 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
     # (FileSegment.zig:177-178, metrics.zig:96-101) — the load-skew
     # signal.  One cheap reduction over counts already computed.
     max_per_hash = jnp.max(f_cnt + m_cnt, axis=1).astype(jnp.int32)
+    # Blocks (BLOCK-sized tiles) a hash's run spans, summed across tiers —
+    # the reference's scanned-blocks-per-hash series (metrics.zig:96-101;
+    # its per-hash cap is MAX_BLOCKS_PER_HASH=4, FileSegment.zig:25).
+    from .pallas_lookup import BLOCK
+
+    def tier_blocks(lo, cnt):
+        hi = lo + jnp.maximum(cnt, 1) - 1
+        return jnp.where(cnt > 0, hi // BLOCK - lo // BLOCK + 1, 0)
+
+    max_blocks_per_hash = jnp.max(
+        tier_blocks(f_lo, f_cnt) + tier_blocks(m_lo, m_cnt), axis=1
+    ).astype(jnp.int32)
 
     def sort_path(_):
         """Stages 3-7 via the sorting pipeline at the FULL budget (any
@@ -731,10 +743,12 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
 
         res = jax.lax.cond(direct_ok, direct_path, base_path, None)
         res["max_per_hash"] = max_per_hash
+        res["max_blocks_per_hash"] = max_blocks_per_hash
         return res
 
     res = base_path(None)
     res["max_per_hash"] = max_per_hash
+    res["max_blocks_per_hash"] = max_blocks_per_hash
     return res
 
 
@@ -779,11 +793,11 @@ def search_segments_batch(params: SearchParams, file_tier, mem_tier, query, q_le
 
 def pack_outputs(out) -> jax.Array:
     """Flatten the per-query output dict into ONE u32 array of shape
-    (B, 2*out_len + 4): ids | scores | count | postings_scanned | truncated
-    | max_per_hash.  Every device->host array transfer costs a sync round
-    trip (a full RTT on tunneled dev chips, a dispatch+copy on attached
-    ones); one packed array per batch instead of six cuts the serving sync
-    cost accordingly."""
+    (B, 2*out_len + 5): ids | scores | count | postings_scanned | truncated
+    | max_per_hash | max_blocks_per_hash.  Every device->host array transfer
+    costs a sync round trip (a full RTT on tunneled dev chips, a
+    dispatch+copy on attached ones); one packed array per batch instead of
+    seven cuts the serving sync cost accordingly."""
     return jnp.concatenate(
         [
             out["ids"].astype(jnp.uint32),
@@ -792,13 +806,14 @@ def pack_outputs(out) -> jax.Array:
             out["postings_scanned"].astype(jnp.uint32)[:, None],
             out["truncated"].astype(jnp.uint32)[:, None],
             out["max_per_hash"].astype(jnp.uint32)[:, None],
+            out["max_blocks_per_hash"].astype(jnp.uint32)[:, None],
         ],
         axis=1,
     )
 
 
 def unpack_outputs_np(arr, out_len: int):
-    """Host-side inverse of pack_outputs (arr is a numpy (B, 2*out_len+4))."""
+    """Host-side inverse of pack_outputs (arr is a numpy (B, 2*out_len+5))."""
     return {
         "ids": arr[:, :out_len],
         "scores": arr[:, out_len : 2 * out_len],
@@ -806,6 +821,7 @@ def unpack_outputs_np(arr, out_len: int):
         "postings_scanned": arr[:, 2 * out_len + 1],
         "truncated": arr[:, 2 * out_len + 2],
         "max_per_hash": arr[:, 2 * out_len + 3],
+        "max_blocks_per_hash": arr[:, 2 * out_len + 4],
     }
 
 

@@ -344,6 +344,18 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         # the exact global max-per-hash.
         local_mph = jnp.max(f_cnt + m_cnt, axis=1).astype(jnp.int32)
         out["max_per_hash"] = jax.lax.pmax(local_mph, AXIS)
+        # Blocks a hash's run spans (its postings live on ONE shard, so the
+        # local block count IS the global one; pmax combines the maxima).
+        from ..ops.pallas_lookup import BLOCK
+
+        def tier_blocks(lo, cnt):
+            hi = lo + jnp.maximum(cnt, 1) - 1
+            return jnp.where(cnt > 0, hi // BLOCK - lo // BLOCK + 1, 0)
+
+        local_mbh = jnp.max(
+            tier_blocks(f_lo, f_cnt) + tier_blocks(m_lo, m_cnt), axis=1
+        ).astype(jnp.int32)
+        out["max_blocks_per_hash"] = jax.lax.pmax(local_mbh, AXIS)
         return out
 
     return jax.shard_map(

@@ -22,6 +22,10 @@ POSTINGS_BUCKETS = (1, 10, 100, 1000, 10_000, 100_000, 1_000_000)
 # 1..1000, metrics.zig:96-101; ours extend past its per-hash cap since the
 # kernel budget is configurable).
 PER_HASH_BUCKETS = (1, 5, 10, 50, 100, 500, 1000, 5000)
+# Blocks scanned per query hash (the reference's ScannedBlocks buckets are
+# 1,2,3,5,10 — metrics.zig:10; its per-hash cap is 4 blocks, ours is a
+# 2-block landing window, so the same range covers both).
+BLOCKS_BUCKETS = (1, 2, 3, 5, 10)
 
 
 class _Hist:
@@ -33,14 +37,16 @@ class _Hist:
         self.total = 0
         self.sum = 0.0
 
-    def observe(self, v: float):
+    def observe(self, v: float, n: int = 1):
         # counts[i] is per-bucket (range (buckets[i-1], buckets[i]]);
-        # render() accumulates into the cumulative le-series.
-        self.total += 1
-        self.sum += v
+        # render() accumulates into the cumulative le-series.  `n` records
+        # n observations sharing one value (e.g. a batch whose members
+        # share one wall time) without duplicating this insert loop.
+        self.total += n
+        self.sum += v * n
         for i, b in enumerate(self.buckets):
             if v <= b:
-                self.counts[i] += 1
+                self.counts[i] += n
                 break
 
 
@@ -50,6 +56,7 @@ _gauges: Dict[Tuple[str, str], float] = {}
 _search_seconds: Dict[str, _Hist] = {}
 _postings = _Hist(POSTINGS_BUCKETS)
 _per_hash = _Hist(PER_HASH_BUCKETS)
+_blocks_per_hash = _Hist(BLOCKS_BUCKETS)
 
 
 def _inc(metric: str, index: str, n: int = 1):
@@ -88,6 +95,22 @@ def inc_file_merges():
         _globals["file_merges"] += 1
 
 
+def inc_searches_abandoned(n: int = 1):
+    """Requests resolved as expired BEFORE their batch launched — the
+    analogue of the reference's mid-scan timeout cancellation
+    (MultiIndex.zig:311-316); work the device never had to do."""
+    if n:
+        with _lock:
+            _globals["searches_abandoned"] += n
+
+
+def inc_search_launches_skipped():
+    """Batches whose every member expired pre-launch: the device launch was
+    skipped entirely."""
+    with _lock:
+        _globals["search_launches_skipped"] += 1
+
+
 def observe_search_seconds(index: str, seconds: float, n: int = 1):
     """Record `n` requests that each took `seconds` (n>1: a batch whose
     members share one wall time, e.g. the native front's device fetch)."""
@@ -95,12 +118,7 @@ def observe_search_seconds(index: str, seconds: float, n: int = 1):
         h = _search_seconds.get(index)
         if h is None:
             h = _search_seconds[index] = _Hist(SEARCH_SECONDS_BUCKETS)
-        h.total += n
-        h.sum += seconds * n
-        for i, b in enumerate(h.buckets):
-            if seconds <= b:
-                h.counts[i] += n
-                break
+        h.observe(seconds, n)
 
 
 def observe_postings_scanned(n: int):
@@ -140,6 +158,18 @@ def observe_max_postings_per_hash(n: int):
         _per_hash.observe(n)
 
 
+def observe_scanned_blocks_per_hash(n: int):
+    """Per-query max of postings BLOCKS touched for one hash (both tiers) —
+    the reference's scanned-blocks-per-hash series (metrics.zig:96-101)."""
+    with _lock:
+        _blocks_per_hash.observe(n)
+
+
+def observe_scanned_blocks_per_hash_many(values) -> None:
+    with _lock:
+        _observe_many(_blocks_per_hash, values)
+
+
 def set_docs(index: str, n: int):
     with _lock:
         _gauges[("docs", index)] = n
@@ -164,9 +194,10 @@ def reset():
         _globals.clear()
         _gauges.clear()
         _search_seconds.clear()
-        global _postings, _per_hash
+        global _postings, _per_hash, _blocks_per_hash
         _postings = _Hist(POSTINGS_BUCKETS)
         _per_hash = _Hist(PER_HASH_BUCKETS)
+        _blocks_per_hash = _Hist(BLOCKS_BUCKETS)
 
 
 PREFIX = "aitpu"
@@ -216,4 +247,12 @@ def render() -> str:
         out.append(f'{PREFIX}_scanned_postings_per_hash_bucket{{le="+Inf"}} {_per_hash.total}')
         out.append(f"{PREFIX}_scanned_postings_per_hash_sum {_per_hash.sum:g}")
         out.append(f"{PREFIX}_scanned_postings_per_hash_count {_per_hash.total}")
+        out.append(f"# TYPE {PREFIX}_scanned_blocks_per_hash histogram")
+        cum = 0
+        for b, c in zip(_blocks_per_hash.buckets, _blocks_per_hash.counts):
+            cum += c
+            out.append(f'{PREFIX}_scanned_blocks_per_hash_bucket{{le="{b:g}"}} {cum}')
+        out.append(f'{PREFIX}_scanned_blocks_per_hash_bucket{{le="+Inf"}} {_blocks_per_hash.total}')
+        out.append(f"{PREFIX}_scanned_blocks_per_hash_sum {_blocks_per_hash.sum:g}")
+        out.append(f"{PREFIX}_scanned_blocks_per_hash_count {_blocks_per_hash.total}")
     return "\n".join(out) + "\n"

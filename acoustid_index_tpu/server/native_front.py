@@ -41,7 +41,7 @@ from . import metrics
 log = logging.getLogger("acoustid_index_tpu.native_front")
 
 ROW_WORDS_MAX = 4096 + 4  # largest query bucket + (len, limit, min_score, pct)
-OUT_WORDS_MAX = 2 * 512 + 4  # largest out bucket, packed output row
+OUT_WORDS_MAX = 2 * 512 + 5  # largest out bucket, packed output row
 
 
 class NativeFront:
@@ -159,6 +159,17 @@ class NativeFront:
             name.encode(),
         )
 
+    def _fail_quiet(self, tokens: np.ndarray, status: int, name: str) -> None:
+        """_fail that never raises: a _fail failure propagating out of a
+        handler that already resolved part of its batch would make the
+        caller re-fail the whole batch — and failing a token twice is a
+        use-after-free on the C++ side (every claimed token must be
+        returned through complete() or fail() exactly once)."""
+        try:
+            self._fail(tokens, status, name)
+        except Exception:  # noqa: BLE001 — the tokens time out client-side
+            log.exception("native front fail() failed; %d requests will time out", len(tokens))
+
     def _launch_group(self, name, bucket, out_bucket, batch_rows, tokens) -> None:
         """Claims one (index, bucket) group: launches warm-sized chunks and
         hands the device handles to the collectors.  Launch only — the
@@ -175,7 +186,7 @@ class NativeFront:
             n = batch_rows.shape[0]
             metrics.inc_searches(name, n)
             params = _params_for(bucket, out_bucket)
-            out_words = 2 * out_bucket + 4
+            out_words = 2 * out_bucket + 5
             if snapshot.file_view is None or snapshot.mem_view is None:
                 out = np.zeros((n, out_words), np.uint32)
                 self._complete(name, tokens.copy(), out, out_words)
@@ -199,24 +210,33 @@ class NativeFront:
                     m = min(chunk.shape[0], b)
                     packed = searcher._pack_rows(params, chunk[:m], b)
                     self._inflight.acquire()
+                    # The inflight permit transfers to the collector only
+                    # when the handle is ENQUEUED; a failure anywhere in
+                    # between (launch, warm bookkeeping, even cq.put) must
+                    # release it here or the budget shrinks permanently.
+                    enqueued = False
                     try:
                         handle = searcher._launch(snapshot, params, packed)
-                    except BaseException:
-                        self._inflight.release()
-                        raise
-                    searcher._warm.add(searcher._shape_key(snapshot, params, b))
-                    # tokens is a reused per-pump buffer: copy the slice,
-                    # the next claim overwrites it while the collector
-                    # still needs these values.
-                    self._cq.put(
-                        (name, handle, tokens[done : done + m].copy(), out_words, time.monotonic())
-                    )
+                        searcher._warm.add(searcher._shape_key(snapshot, params, b))
+                        # tokens is a reused per-pump buffer: copy the
+                        # slice, the next claim overwrites it while the
+                        # collector still needs these values.
+                        self._cq.put(
+                            (name, handle, tokens[done : done + m].copy(), out_words, time.monotonic())
+                        )
+                        enqueued = True
+                    finally:
+                        if not enqueued:
+                            self._inflight.release()
                 except errors.IndexError_ as exc:
-                    self._fail(tokens[done:n], exc.status, exc.name)
+                    # _fail_quiet: tokens[:done] are already queued/resolved;
+                    # an exception escaping here would make the pump's outer
+                    # handler fail them AGAIN (double-resolution UAF).
+                    self._fail_quiet(tokens[done:n], exc.status, exc.name)
                     return
                 except Exception as exc:  # noqa: BLE001 — per-batch isolation
                     log.exception("native pump chunk failed", exc_info=exc)
-                    self._fail(tokens[done:n], 500, "InternalError")
+                    self._fail_quiet(tokens[done:n], 500, "InternalError")
                     return
                 done += m
         finally:
@@ -248,15 +268,18 @@ class NativeFront:
     def _complete(self, name: str, tokens: np.ndarray, out: np.ndarray, out_words: int) -> None:
         out = np.ascontiguousarray(out, dtype=np.uint32)
         assert out.shape[1] == out_words, (out.shape, out_words)
-        # Serving metrics from the packed rows (vectorized, per batch).
-        counts = out[:, out_words - 4]
+        # Serving metrics from the packed rows (vectorized, per batch; row
+        # layout: ids | scores | count | postings | truncated | max_ph |
+        # max_blocks — see ops.search_kernel.pack_outputs).
+        counts = out[:, out_words - 5]
         hits = int(np.count_nonzero(counts))
         if hits:
             metrics.inc_search_hit(name, hits)
         if len(tokens) - hits:
             metrics.inc_search_miss(name, len(tokens) - hits)
-        metrics.observe_postings_scanned_many(out[:, out_words - 3])
-        metrics.observe_max_postings_per_hash_many(out[:, out_words - 1])
+        metrics.observe_postings_scanned_many(out[:, out_words - 4])
+        metrics.observe_max_postings_per_hash_many(out[:, out_words - 2])
+        metrics.observe_scanned_blocks_per_hash_many(out[:, out_words - 1])
         self.lib.aitpu_front_complete(
             self.handle,
             np.ascontiguousarray(tokens).ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),

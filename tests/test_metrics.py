@@ -85,3 +85,48 @@ def test_search_seconds_batch_observation():
     buckets, _, _, _ = _histogram_series(text, name)
     by_le = dict(buckets)
     assert by_le[0.05] == 257 and by_le[0.01] == 1  # 25ms not understated
+
+
+def test_scanned_blocks_per_hash_series():
+    # The reference exports both scanned docs AND blocks per hash
+    # (metrics.zig:96-101); pin the blocks series' validity + bulk parity.
+    metrics.observe_scanned_blocks_per_hash(2)
+    metrics.observe_scanned_blocks_per_hash_many([1, 1, 3, 12])
+    text = metrics.render()
+    name = "aitpu_scanned_blocks_per_hash"
+    _assert_valid(text, name, 5, want_sum=19.0)
+    buckets, _, _, _ = _histogram_series(text, name)
+    by_le = dict(buckets)
+    assert by_le[1] == 2 and by_le[2] == 3 and by_le[3] == 4 and by_le[10] == 4
+
+
+def test_search_stats_carry_blocks_per_hash():
+    # End-to-end through the real searcher: a multi-block run must report
+    # blocks >= 2 while a within-block run reports 1.
+    import numpy as np
+
+    from acoustid_index_tpu.engine.memseg import build_segment
+    from acoustid_index_tpu.engine.model import Insert, SearchOptions, SegmentInfo
+    from acoustid_index_tpu.engine.searcher import Searcher
+    from acoustid_index_tpu.engine.segments import FILE_SLOTS, MEMORY_SLOTS, Snapshot, pack_tier
+    from acoustid_index_tpu.ops.pallas_lookup import BLOCK
+
+    # hash 5's run fills positions [0, 600); the hot hash's 600-posting run
+    # then straddles the first BLOCK boundary -> 2 blocks scanned.
+    hot = 7
+    changes = [Insert(id=i, hashes=[5]) for i in range(1, 601)]
+    changes += [Insert(id=i, hashes=[hot]) for i in range(601, 1201)]
+    changes.append(Insert(id=BLOCK + 200, hashes=[99]))
+    seg = build_segment(changes, SegmentInfo(commit_id=1))
+    empty = build_segment([], SegmentInfo(commit_id=2))
+    snap = Snapshot(
+        file=(seg,),
+        memory=(empty,),
+        file_view=pack_tier([seg], FILE_SLOTS),
+        mem_view=pack_tier([empty], MEMORY_SLOTS),
+    )
+    s = Searcher()
+    _, stats = s.search(snap, [hot], SearchOptions(max_results=10, min_score=1))
+    assert stats.max_blocks_per_hash >= 2, stats
+    _, stats1 = s.search(snap, [99], SearchOptions(max_results=10, min_score=1))
+    assert stats1.max_blocks_per_hash == 1, stats1

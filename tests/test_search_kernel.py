@@ -194,3 +194,55 @@ def test_big_budget_sort_path_matches_oracle():
     segs_mem = [seg_from_docs(docs_b, commit_id=2, deletes=[5, 17])]
     for q in ([hot, 42, 43], [hot], [hot, 0, 1, 2, 3]):
         run_both(segs_file, segs_mem, q, limit=8, min_score=1, pct=0)
+
+
+def test_hot_hash_degenerate_skew():
+    """A 10^5-posting hot hash in one segment (the skew case SURVEY §7 calls
+    out).  The reference pins <=4 blocks / <=1000 docs scanned per query
+    hash (FileSegment.zig:25-26,171-174).  Our documented bound differs in
+    anchor but not in shape: the range phase scans a 2-chunk window at the
+    run's upper landing chunk, capped at K postings per (hash, segment)
+    (ops/pallas_lookup.py tier_ranges_resident, searcher._params_for), so a
+    degenerate hash yields a CONTIGUOUS docid-ascending slice of its run,
+    `truncated` is set, max_per_hash reports the cap (feeding the load-skew
+    histogram, multi/multi_index.py:181), and every other hash in the query
+    still scores exactly."""
+    from acoustid_index_tpu.engine.searcher import _params_for
+
+    n_hot = 100_000
+    hot = 4_000_000_000  # larger than the decoy hashes: its run sorts last
+    a, b, c = 10, 20, 30
+    docs = {i: [hot] for i in range(1, n_hot + 1)}
+    docs[50] = [hot, a, b, c]
+    seg = seg_from_docs(docs, commit_id=1)
+    empty = seg_from_docs({}, commit_id=2)
+    searcher = Searcher()
+    snap = make_snapshot([seg], [empty])
+    K = _params_for(64).per_hash_cap
+
+    # Postings sort as (hash, docid): positions 0-2 are doc 50's (a, b, c),
+    # the hot run occupies positions 3..n_hot+2 with docids 1..n_hot.  The
+    # K-capped window lands at the run's tail chunks; doc 50's hot hit
+    # (position 52) is outside it, so its exact score is 3 (a+b+c).
+    got, stats = searcher.search(
+        snap, [hot, a, b, c], SearchOptions(max_results=10, min_score=2)
+    )
+    assert stats.truncated, "capped hot-hash scan must surface truncation"
+    assert stats.max_per_hash == K, stats
+    assert [(r.id, r.score) for r in got] == [(50, 3)]
+
+    # min_score=1: survivors below the bound are a contiguous slice of the
+    # run, docid-ascending, score 1 each — window chunk start 96*1024 =
+    # position 98304 = docid 98302 (the postings budget P trims the slice's
+    # tail, not its head).
+    got1, stats1 = searcher.search(
+        snap, [hot, a, b, c], SearchOptions(max_results=5, min_score=1, min_score_pct=0)
+    )
+    assert stats1.truncated
+    assert [(r.id, r.score) for r in got1] == [
+        (50, 3), (98302, 1), (98303, 1), (98304, 1), (98305, 1),
+    ]
+
+    # A hot-hash-only query returns the window slice head directly.
+    got2, _ = searcher.search(snap, [hot], SearchOptions(max_results=3, min_score=1, min_score_pct=0))
+    assert [(r.id, r.score) for r in got2] == [(98302, 1), (98303, 1), (98304, 1)]
