@@ -42,7 +42,7 @@ from .merge_policy import TieredMergePolicy
 from .model import Change, SearchOptions, SearchResult, SegmentInfo, Transaction
 from .oplog import Oplog
 from .searcher import Searcher, SearchStats, default_searcher
-from .segments import FILE_SLOTS, MEMORY_SLOTS, Snapshot, pack_tier
+from .segments import FILE_SLOTS, MEMORY_SLOTS, PENDING_VIEW, Snapshot, pack_tier
 
 log = logging.getLogger("acoustid_index_tpu.index")
 
@@ -69,6 +69,10 @@ class Index:
 
         self._write_lock = threading.RLock()
         self._snapshot_lock = threading.Lock()
+        # Serializes lazy view resolution (see ensure_views) without
+        # blocking writers: resolution packs + uploads, which can take
+        # hundreds of ms at large memory tiers.
+        self._view_lock = threading.Lock()
         self._snapshot = snapshot
 
         # Writer-owned bookkeeping (stable under the write lock).
@@ -247,6 +251,17 @@ class Index:
         with self._snapshot_lock:
             return self._snapshot
 
+    def ensure_views(self, snapshot: Snapshot) -> Snapshot:
+        """Resolve a deferred memory-tier view (bulk-ingest path) exactly
+        once per snapshot.  Cheap no-op when the view is already packed."""
+        if snapshot.mem_view is PENDING_VIEW:
+            with self._view_lock:
+                if snapshot.mem_view is PENDING_VIEW:
+                    view = self.searcher.pack_mem_tier(snapshot.memory, owner=self.path)
+                    object.__setattr__(snapshot, "mem_view", view)
+                    self.searcher.warm_async(snapshot)
+        return snapshot
+
     def search(self, query: Sequence[int], options: SearchOptions, deadline: Optional[float] = None):
         # The device program is bounded, so the timeout guards host-side
         # queueing (the reference's cancellation fires at scan yield points;
@@ -254,7 +269,7 @@ class Index:
         # monotonic timestamp taken when the request ENTERED the system;
         # checked before dispatch, so a request that queued past its
         # deadline is refused while a dispatched one finishes.
-        snapshot = self.acquire_reader()
+        snapshot = self.ensure_views(self.acquire_reader())
         if deadline is not None and time.monotonic() > deadline:
             raise SearchTimeout("search queued past its deadline")
         return self.searcher.search(snapshot, query, options, deadline=deadline)
@@ -264,7 +279,7 @@ class Index:
         `.result()` yields (results, stats).  Lets one caller keep many
         searches in flight through the batching pipeline (open-loop load,
         bulk lookups)."""
-        snapshot = self.acquire_reader()
+        snapshot = self.ensure_views(self.acquire_reader())
         if deadline is not None and time.monotonic() > deadline:
             raise SearchTimeout("search queued past its deadline")
         return self.searcher.submit(snapshot, query, options, deadline=deadline)
@@ -304,6 +319,14 @@ class Index:
             seg = _replace(seg, info=SegmentInfo(commit_id=commit_id, merges=0, version=version))
             new_memory = cur.memory + (seg,)
             self.external_versions = self.external_versions or version is not None
+            # Bulk batches DEFER the memory-tier device packing to the first
+            # reader (ensure_views): packing re-sorts the whole tier, and a
+            # pure ingest stream repacking per batch is the dominant bulk
+            # cost.  Small interactive writes keep the eager pack so a
+            # write-then-search flow never pays it on the read path.
+            from .model import BulkInsert
+
+            defer = any(isinstance(c, BulkInsert) for c in changes)
             snap = Snapshot(
                 file=cur.file,
                 memory=new_memory,
@@ -313,13 +336,45 @@ class Index:
                 file_version=self.file_version,
                 external_versions=self.external_versions,
                 file_view=cur.file_view,  # shared: the write never touches the big buffer
-                mem_view=self.searcher.pack_mem_tier(new_memory, owner=self.path),
+                mem_view=PENDING_VIEW
+                if defer
+                else self.searcher.pack_mem_tier(new_memory, owner=self.path),
             )
             self._swap(snap)
             self._wake.set()
             if self.on_commit:
                 self.on_commit(self)
             return resolved
+
+    def bulk_insert(
+        self,
+        ids,
+        hashes,
+        offsets=None,
+        expected_version: Optional[int] = None,
+        version: Optional[int] = None,
+    ) -> int:
+        """Columnar bulk ingest: one oplog commit for the whole batch, the
+        segment built vectorized, device packing deferred to the first
+        reader.  `hashes` is either a (n, k) fixed-width matrix (offsets
+        None) or a flat array with u32 offsets[n+1] spans."""
+        import numpy as np
+
+        from .model import BulkInsert
+
+        ids = np.ascontiguousarray(ids, dtype=np.uint32)
+        hashes = np.ascontiguousarray(hashes, dtype=np.uint32)
+        if offsets is None:
+            if hashes.ndim != 2 or hashes.shape[0] != ids.shape[0]:
+                raise ValueError("without offsets, hashes must be (len(ids), k)")
+            k = hashes.shape[1]
+            offsets = np.arange(0, (ids.shape[0] + 1) * k, k, dtype=np.uint32)
+            hashes = hashes.reshape(-1)
+        return self.update(
+            [BulkInsert(ids=ids, hashes=hashes, offsets=offsets)],
+            expected_version=expected_version,
+            version=version,
+        )
 
     def _swap(self, snap: Snapshot) -> None:
         with self._snapshot_lock:

@@ -25,7 +25,7 @@ from typing import Dict, Iterable, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .model import Change, Delete, Insert, SegmentInfo, SetMetadata
+from .model import BulkInsert, Change, Delete, Insert, SegmentInfo, SetMetadata
 
 
 @dataclass(frozen=True)
@@ -73,6 +73,8 @@ def _sort_items(hashes: np.ndarray, docids: np.ndarray):
 
 def build_segment(changes: Sequence[Change], info: SegmentInfo) -> Segment:
     """Build a segment from one write batch (MemorySegment.build)."""
+    if any(isinstance(c, BulkInsert) for c in changes):
+        return _build_segment_columnar(changes, info)
     seen: Dict[int, bool] = {}
     hash_chunks = []
     id_chunks = []
@@ -130,6 +132,111 @@ def build_segment(changes: Sequence[Change], info: SegmentInfo) -> Segment:
         docs_alive=docs_alive,
         min_doc_id=min_doc,
         max_doc_id=max_doc,
+        metadata=tuple(metadata.items()),
+    )
+
+
+def _build_segment_columnar(changes: Sequence[Change], info: SegmentInfo) -> Segment:
+    """Vectorized build for batches containing BulkInsert changes: every
+    per-document step of the classic loop (last-change-wins, tombstones,
+    duplicate in-doc hashes kept) runs as numpy column operations, so a
+    million-doc bulk batch never touches per-document Python objects."""
+    # Flatten the batch into per-DOC-ENTRY columns (one row per insert or
+    # delete, in batch order) plus one flat hash pool with per-entry spans.
+    id_cols = []
+    alive_cols = []
+    start_cols = []
+    count_cols = []
+    hash_pool = []
+    pool_pos = 0
+    metadata: Dict[str, str] = {}
+    for change in changes:
+        if isinstance(change, BulkInsert):
+            n = len(change)
+            if n:
+                id_cols.append(change.ids)
+                alive_cols.append(np.ones(n, bool))
+                counts = (change.offsets[1:] - change.offsets[:-1]).astype(np.int64)
+                start_cols.append(change.offsets[:-1].astype(np.int64) + pool_pos)
+                count_cols.append(counts)
+                hash_pool.append(change.hashes)
+                pool_pos += change.hashes.shape[0]
+        elif isinstance(change, Insert):
+            id_cols.append(np.array([change.id], np.uint32))
+            alive_cols.append(np.ones(1, bool))
+            h = np.asarray(change.hashes, dtype=np.uint32)
+            start_cols.append(np.array([pool_pos], np.int64))
+            count_cols.append(np.array([h.shape[0]], np.int64))
+            if h.shape[0]:
+                hash_pool.append(h)
+                pool_pos += h.shape[0]
+        elif isinstance(change, Delete):
+            id_cols.append(np.array([change.id], np.uint32))
+            alive_cols.append(np.zeros(1, bool))
+            start_cols.append(np.array([pool_pos], np.int64))
+            count_cols.append(np.array([0], np.int64))
+        elif isinstance(change, SetMetadata):
+            for k, v in change.entries:
+                metadata[k] = v
+        else:
+            raise TypeError(f"not a Change: {change!r}")
+
+    if not id_cols:
+        return Segment(
+            info=info,
+            hashes=np.empty(0, np.uint32),
+            docids=np.empty(0, np.uint32),
+            docs_ids=np.empty(0, np.uint32),
+            docs_alive=np.empty(0, bool),
+            min_doc_id=0,
+            max_doc_id=0,
+            metadata=tuple(metadata.items()),
+        )
+
+    ids = np.concatenate(id_cols)
+    alive = np.concatenate(alive_cols)
+    starts = np.concatenate(start_cols)
+    counts = np.concatenate(count_cols)
+    pool = np.concatenate(hash_pool) if hash_pool else np.empty(0, np.uint32)
+
+    # Last change per id wins (the classic loop scans in reverse with
+    # first-occurrence-wins — same thing): stable sort by id keeps batch
+    # order within ties, so the last row of each id group is the winner.
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+    last = np.ones(sids.shape[0], bool)
+    last[:-1] = sids[1:] != sids[:-1]
+    win = order[last]  # winners, already in ascending-id order
+
+    docs_ids = ids[win]
+    docs_alive = alive[win]
+
+    # Expand the winning live entries' hash spans out of the pool.
+    live = counts[win] > 0
+    w_start = starts[win][live]
+    w_count = counts[win][live]
+    w_id = docs_ids[live]
+    total = int(w_count.sum())
+    if total:
+        cum0 = np.zeros(w_count.shape[0], np.int64)
+        np.cumsum(w_count[:-1], out=cum0[1:])
+        pos = np.arange(total, dtype=np.int64)
+        pos += np.repeat(w_start - cum0, w_count)
+        hashes = pool[pos]
+        docids = np.repeat(w_id, w_count)
+        hashes, docids = _sort_items(hashes, docids)
+    else:
+        hashes = np.empty(0, np.uint32)
+        docids = np.empty(0, np.uint32)
+
+    return Segment(
+        info=info,
+        hashes=hashes,
+        docids=docids,
+        docs_ids=docs_ids,
+        docs_alive=docs_alive,
+        min_doc_id=int(docs_ids[0]),
+        max_doc_id=int(docs_ids[-1]),
         metadata=tuple(metadata.items()),
     )
 

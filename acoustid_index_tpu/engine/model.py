@@ -54,7 +54,47 @@ class SetMetadata:
         )
 
 
-Change = Union[Insert, Delete, SetMetadata]
+@dataclass(frozen=True)
+class BulkInsert:
+    """A columnar batch of inserts: semantically identical to
+    `[Insert(ids[i], hashes[offsets[i]:offsets[i+1]]) for i in range(n)]`
+    but carried as three packed u32 arrays end-to-end (HTTP body -> oplog
+    frame -> segment build), so a million-doc ingest never materializes
+    per-document Python objects.  The reference has no bulk form — its
+    ingest cost is MemorySegment.build over a change list
+    (/root/reference/src/MemorySegment.zig:81-148); this is that same
+    operation with the list in columnar form.
+
+    ids: u32[n] (0 is rejected at the API like any insert); hashes: u32[m]
+    flat; offsets: u32[n+1] monotone with offsets[0]=0, offsets[n]=m.
+    Duplicate ids follow batch semantics: the LAST occurrence wins.
+    """
+
+    ids: "object"  # np.ndarray u32[n]
+    hashes: "object"  # np.ndarray u32[m]
+    offsets: "object"  # np.ndarray u32[n+1]
+
+    def __post_init__(self):
+        import numpy as np
+
+        ids = np.ascontiguousarray(self.ids, dtype=np.uint32)
+        hashes = np.ascontiguousarray(self.hashes, dtype=np.uint32)
+        offsets = np.ascontiguousarray(self.offsets, dtype=np.uint32)
+        if offsets.shape[0] != ids.shape[0] + 1:
+            raise ValueError("offsets must have len(ids)+1 entries")
+        if ids.shape[0] and (int(offsets[0]) != 0 or int(offsets[-1]) != hashes.shape[0]):
+            raise ValueError("offsets must span the hashes array")
+        if np.any(offsets[1:] < offsets[:-1]):
+            raise ValueError("offsets must be monotone non-decreasing")
+        object.__setattr__(self, "ids", ids)
+        object.__setattr__(self, "hashes", hashes)
+        object.__setattr__(self, "offsets", offsets)
+
+    def __len__(self) -> int:
+        return int(self.ids.shape[0])
+
+
+Change = Union[Insert, Delete, SetMetadata, BulkInsert]
 
 
 def change_to_wire(c: Change) -> dict:
@@ -64,6 +104,15 @@ def change_to_wire(c: Change) -> dict:
         return {"d": {"i": c.id}}
     if isinstance(c, SetMetadata):
         return {"s": {"e": [{"k": k, "v": v} for k, v in c.entries]}}
+    if isinstance(c, BulkInsert):
+        # Raw little-endian u32 columns as msgpack bin: zero-copy decode.
+        return {
+            "b": {
+                "i": c.ids.astype("<u4").tobytes(),
+                "h": c.hashes.astype("<u4").tobytes(),
+                "o": c.offsets.astype("<u4").tobytes(),
+            }
+        }
     raise TypeError(f"not a Change: {c!r}")
 
 
@@ -74,6 +123,15 @@ def change_from_wire(d: dict) -> Change:
         return Delete(id=d["d"]["i"])
     if "s" in d:
         return SetMetadata(entries=[(e["k"], e["v"]) for e in d["s"].get("e") or []])
+    if "b" in d:
+        import numpy as np
+
+        b = d["b"]
+        return BulkInsert(
+            ids=np.frombuffer(b["i"], dtype="<u4"),
+            hashes=np.frombuffer(b["h"], dtype="<u4"),
+            offsets=np.frombuffer(b["o"], dtype="<u4"),
+        )
     raise ValueError(f"unknown change: {d!r}")
 
 

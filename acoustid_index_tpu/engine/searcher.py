@@ -156,6 +156,9 @@ class Searcher:
         options: SearchOptions,
         deadline: Optional[float] = None,
     ) -> Tuple[List[SearchResult], SearchStats]:
+        assert isinstance(snapshot.mem_view, dict) or snapshot.mem_view is None, (
+            "unresolved deferred view: search must go through Index.ensure_views"
+        )
         q, q_len = self.prepare_query(query)
         if q_len == 0 or snapshot.file_view is None or snapshot.mem_view is None:
             return [], SearchStats(0, False)
@@ -329,6 +332,9 @@ class BatchingSearcher(Searcher):
         deadline: Optional[float] = None,
     ) -> _PendingSearch:
         """Enqueue a search; returns a future-like handle (`.result()`)."""
+        assert isinstance(snapshot.mem_view, dict) or snapshot.mem_view is None, (
+            "unresolved deferred view: search must go through Index.ensure_views"
+        )
         q, q_len = self.prepare_query(query)
         if q_len == 0 or snapshot.file_view is None or snapshot.mem_view is None:
             req = _PendingSearch(self, None, None, None, 0, options, deadline)
@@ -684,8 +690,8 @@ class BatchingSearcher(Searcher):
         compile per converged shape set, not one per write; the
         precompiler holds only a weakref, so a superseded snapshot is
         never pinned."""
-        if snapshot.file_view is None or snapshot.mem_view is None:
-            return
+        if not isinstance(snapshot.file_view, dict) or not isinstance(snapshot.mem_view, dict):
+            return  # empty index, or a deferred (PENDING_VIEW) bulk view
         params = _params_for(QUERY_BUCKETS[1])
         key = self._shape_key(snapshot, params, 1)
         # Dedupe on _warm only, NOT on _precompiling: a queued item for the

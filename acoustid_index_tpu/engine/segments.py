@@ -46,6 +46,19 @@ SENTINEL32 = np.uint32(0xFFFFFFFF)
 _VIEW_TOKENS = itertools.count(1)
 
 
+class _PendingView:
+    """Placeholder for a tier view whose device packing is DEFERRED to the
+    first reader (the bulk-ingest path): packing re-sorts the whole tier,
+    so a write-only ingest stream must not pay it per batch.  Readers go
+    through Index.ensure_views, which resolves the placeholder exactly once
+    per snapshot (from snapshot.memory) before any search sees it."""
+
+    __repr__ = lambda self: "<pending view>"  # noqa: E731
+
+
+PENDING_VIEW = _PendingView()
+
+
 def _bucket(n: int, minimum: int) -> int:
     """Smallest capacity >= n from {minimum·2^k} ∪ {1.5·minimum·2^k}: the
     half-octave steps cut the worst-case HBM waste from 50% to 33% (a

@@ -196,8 +196,12 @@ class MultiIndex:
         expected_version: Optional[int] = None,
     ) -> int:
         # Fingerprint id 0 is reserved (the "unset" sentinel in segments).
+        from ..engine.model import BulkInsert
+
         for change in changes:
             if isinstance(change, (Insert, Delete)) and change.id == 0:
+                raise errors.InvalidFingerprintId("fingerprint id 0 is reserved")
+            if isinstance(change, BulkInsert) and change.ids.size and not change.ids.all():
                 raise errors.InvalidFingerprintId("fingerprint id 0 is reserved")
         folded = fold_metadata(changes, metadata)
 

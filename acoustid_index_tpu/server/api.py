@@ -15,7 +15,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import msgpack
 
 from ..engine import errors
-from ..engine.model import Change, Delete, Insert, SetMetadata
+from ..engine.model import BulkInsert, Change, Delete, Insert, SetMetadata
 
 DEFAULT_SEARCH_TIMEOUT_MS = 500
 MAX_SEARCH_TIMEOUT_MS = 10_000
@@ -73,6 +73,61 @@ def decode_update_request(d: dict) -> dict:
         raise errors.BadRequest("changes is required")
     return {
         "changes": [decode_change(c) for c in raw],
+        "metadata": _get(d, "metadata", "m"),
+        "expected_version": _get(d, "expected_version", "e"),
+    }
+
+
+def _u32_column(v, what: str):
+    """A u32 numpy column from either raw little-endian bytes (msgpack bin —
+    the fast path) or a JSON-friendly list of ints."""
+    import numpy as np
+
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        if len(v) % 4:
+            raise errors.BadRequest(f"{what} binary length must be a multiple of 4")
+        return np.frombuffer(v, dtype="<u4")
+    if isinstance(v, list):
+        try:
+            arr = np.asarray(v, dtype=np.int64)
+        except (ValueError, OverflowError):
+            raise errors.BadRequest(f"{what} must be u32 integers")
+        if arr.size and (int(arr.min()) < 0 or int(arr.max()) > 0xFFFFFFFF):
+            raise errors.BadRequest(f"{what} must be u32 integers")
+        return arr.astype(np.uint32)
+    raise errors.BadRequest(f"{what} must be binary u32 data or a list of ints")
+
+
+def decode_bulk_request(d: dict) -> dict:
+    """POST /:index/_bulk — columnar insert batch.  Body fields: ids (bin or
+    list), hashes (bin or list), and either offsets (u32[n+1] spans into
+    hashes) or width (fixed hashes-per-doc).  An extension over the
+    reference's per-change _update (change.zig has no bulk form); semantics
+    are exactly `changes: [insert...]` in order."""
+    import numpy as np
+
+    raw_ids = _get(d, "ids", "i")
+    raw_hashes = _get(d, "hashes", "h")
+    if raw_ids is None or raw_hashes is None:
+        raise errors.BadRequest("ids and hashes are required")
+    ids = _u32_column(raw_ids, "ids")
+    hashes = _u32_column(raw_hashes, "hashes")
+    raw_off = _get(d, "offsets", "o")
+    if raw_off is not None:
+        offsets = _u32_column(raw_off, "offsets")
+    else:
+        k = _get(d, "width", "k")
+        if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
+            raise errors.BadRequest("offsets or a positive width is required")
+        if hashes.shape[0] != ids.shape[0] * k:
+            raise errors.BadRequest("hashes length must be len(ids) * width")
+        offsets = np.arange(0, (ids.shape[0] + 1) * k, k, dtype=np.uint32)
+    try:
+        change = BulkInsert(ids=ids, hashes=hashes, offsets=offsets)
+    except ValueError as exc:
+        raise errors.BadRequest(str(exc))
+    return {
+        "changes": [change],
         "metadata": _get(d, "metadata", "m"),
         "expected_version": _get(d, "expected_version", "e"),
     }

@@ -65,6 +65,7 @@ class App:
 
         r.post("/:index/_search", self.handle_search)
         r.post("/:index/_update", self.handle_update)
+        r.post("/:index/_bulk", self.handle_bulk)
 
         r.get("/:index/_snapshot", self.handle_snapshot_export)
         r.get("/:index/_status", self.handle_peer_status)
@@ -169,6 +170,20 @@ class App:
 
     def handle_update(self, req: Request) -> Response:
         d = self._require_body(req, api.decode_update_request)
+        version = self.mi.update(
+            req.params["index"],
+            d["changes"],
+            metadata=d["metadata"],
+            expected_version=d["expected_version"],
+        )
+        ct = response_type(req)
+        return self._respond(req, api.encode_update_response(version, ct == MSGPACK))
+
+    def handle_bulk(self, req: Request) -> Response:
+        """Columnar bulk insert: one commit, packed u32 columns end-to-end
+        (body -> oplog frame -> vectorized segment build), device packing
+        deferred to the first reader."""
+        d = self._require_body(req, api.decode_bulk_request)
         version = self.mi.update(
             req.params["index"],
             d["changes"],

@@ -182,7 +182,7 @@ class NativeFront:
                 raise errors.IndexNotReady(name)
             index = ref.index
             searcher = index.searcher
-            snapshot = index.acquire_reader()
+            snapshot = index.ensure_views(index.acquire_reader())
             n = batch_rows.shape[0]
             metrics.inc_searches(name, n)
             params = _params_for(bucket, out_bucket)
