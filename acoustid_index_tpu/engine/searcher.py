@@ -99,6 +99,10 @@ class Searcher:
             slots_cap,
             min_slots=hwm[3],
             min_caps=(hwm[0], hwm[1], hwm[2]),
+            # Only the memory tier's mention table is consulted on device
+            # (pack-time filtering; see segments.pack_tier) — the file
+            # tier's stays host-side instead of burning HBM.
+            device_mentions=(tier == "mem"),
         )
         from ..ops.layout import postings_cap
 
@@ -170,7 +174,7 @@ class Searcher:
         padded = np.zeros(bucket, dtype=np.uint32)
         padded[:q_len] = q
         out = fn(
-            tier_view_for_search(snapshot.file_view),
+            tier_view_for_search(snapshot.file_view, mentions=False),
             tier_view_for_search(snapshot.mem_view),
             padded,
             np.int32(q_len),
@@ -416,7 +420,10 @@ class BatchingSearcher(Searcher):
             raise req.error
         if req.direct is not None:
             return req.direct
-        return self._materialize_row(req.row, req.key[3])
+        # out_len comes from the ROW width, not the request's out bucket:
+        # a cold-bucket request may have been served through a warm
+        # SUPERSET program with wider output rows (see _pick_program).
+        return self._materialize_row(req.row, (req.row.shape[0] - 5) // 2)
 
     # ---- pipeline threads ----
 
@@ -569,9 +576,8 @@ class BatchingSearcher(Searcher):
                 except Exception:  # noqa: BLE001 — metrics never fail the op
                     pass
                 continue
-            params = _params_for(key[2], key[3])
             snapshot = batch[0].snapshot
-            b = self._pick_batch_size(snapshot, params, len(batch))
+            params, b = self._pick_program(snapshot, key, len(batch))
             if b < len(batch):
                 # Exact bucket is cold but a smaller one is warm: serve the
                 # head at the warm size NOW (chunks pipeline back-to-back
@@ -601,7 +607,9 @@ class BatchingSearcher(Searcher):
                     handle = self._launch(
                         snapshot,
                         params,
-                        self._pack_rows(params, [r.padded for r in batch], b),
+                        self._pack_rows_rebucketed(
+                            params, key[2], [r.padded for r in batch], b
+                        ),
                     )
                 self._warm.add(self._shape_key(snapshot, params, b))
             except Exception as exc:  # noqa: BLE001 — propagated per-request
@@ -645,6 +653,22 @@ class BatchingSearcher(Searcher):
 
         return (params, b, shapes(snapshot.file_view), shapes(snapshot.mem_view))
 
+    def _queue_precompile(self, snapshot, params: SearchParams, b: int, key) -> None:
+        if key in self._precompiling:
+            return
+        import weakref
+
+        if self._precompile_q is None:
+            # Callers outside the dispatch pipeline (the native front's
+            # pumps) can reach here before any submit() started the
+            # threads — start them so the background precompile runs.
+            with self._qcond:
+                self._ensure_threads_locked()
+        self._precompiling.add(key)
+        # Weakref: a minutes-long background compile must not pin a
+        # superseded snapshot's device buffers in HBM.
+        self._precompile_q.put((weakref.ref(snapshot), params, b, key))
+
     def _pick_batch_size(self, snapshot, params: SearchParams, n: int) -> int:
         """The exact bucket if its program is warm (or nothing is warm at
         all, the true cold start — compile inline).  Otherwise avoid
@@ -659,21 +683,54 @@ class BatchingSearcher(Searcher):
         warm = [b for b in BATCH_SIZES if self._shape_key(snapshot, params, b) in self._warm]
         if not warm:
             return b_exact  # nothing warm at all: compile inline
-        if key_exact not in self._precompiling:
-            import weakref
-
-            if self._precompile_q is None:
-                # Callers outside the dispatch pipeline (the native front's
-                # pumps) can reach here before any submit() started the
-                # threads — start them so the background precompile runs.
-                with self._qcond:
-                    self._ensure_threads_locked()
-            self._precompiling.add(key_exact)
-            # Weakref: a minutes-long background compile must not pin a
-            # superseded snapshot's device buffers in HBM.
-            self._precompile_q.put((weakref.ref(snapshot), params, b_exact, key_exact))
+        self._queue_precompile(snapshot, params, b_exact, key_exact)
         fitting = [b for b in warm if b >= n]
         return fitting[0] if fitting else warm[-1]
+
+    def _pick_program(self, snapshot, key, n: int):
+        """(params, batch size) to serve a claimed batch with NO inline
+        compile whenever anything compatible is warm.
+
+        The exact query/out bucket first (the _pick_batch_size ladder).  If
+        the whole bucket is COLD — the reference never fails a search on a
+        warm index (MultiIndex.zig:287-330), but a fresh query-length
+        bucket here used to stall the dispatcher for a full compile and
+        503 everything behind it — a warm SUPERSET bucket (query bucket
+        large enough to hold the queries, out bucket at least as wide)
+        serves the batch NOW: queries pad with zeros beyond q_len (masked
+        by the kernel), budgets/caps only grow with the bucket so results
+        are identical-or-less-truncated, and _await reads out_len from the
+        row width.  The exact program still compiles in the background.
+        Inline compile remains only for the true cold start (fresh process
+        AND no persistent-cache hit AND nothing warm)."""
+        params = _params_for(key[2], key[3])
+        b_exact = next(x for x in BATCH_SIZES if x >= n)
+        if self._shape_key(snapshot, params, b_exact) in self._warm:
+            return params, b_exact
+        warm = [b for b in BATCH_SIZES if self._shape_key(snapshot, params, b) in self._warm]
+        if warm:
+            self._queue_precompile(
+                snapshot, params, b_exact, self._shape_key(snapshot, params, b_exact)
+            )
+            fitting = [b for b in warm if b >= n]
+            return params, (fitting[0] if fitting else warm[-1])
+        for qb in QUERY_BUCKETS:
+            if qb < key[2]:
+                continue
+            for ob in OUT_BUCKETS:
+                if ob < key[3] or (qb == key[2] and ob == key[3]):
+                    continue
+                sp = _params_for(qb, ob)
+                warm2 = [
+                    b for b in BATCH_SIZES if self._shape_key(snapshot, sp, b) in self._warm
+                ]
+                if warm2:
+                    self._queue_precompile(
+                        snapshot, params, b_exact, self._shape_key(snapshot, params, b_exact)
+                    )
+                    fitting = [b for b in warm2 if b >= n]
+                    return sp, (fitting[0] if fitting else warm2[-1])
+        return params, b_exact  # true cold start: compile inline
 
     def warm_async(self, snapshot) -> None:
         """Background-compile the default serving program (the ~120-hash
@@ -692,16 +749,8 @@ class BatchingSearcher(Searcher):
         never pinned."""
         if not isinstance(snapshot.file_view, dict) or not isinstance(snapshot.mem_view, dict):
             return  # empty index, or a deferred (PENDING_VIEW) bulk view
-        params = _params_for(QUERY_BUCKETS[1])
-        key = self._shape_key(snapshot, params, 1)
-        # Dedupe on _warm only, NOT on _precompiling: a queued item for the
-        # same shape may hold a weakref to a snapshot this very swap just
-        # superseded — the loop will skip it dead, and deduping against it
-        # would leave the shape cold forever.  This item carries its own
-        # (live) snapshot; the loop re-checks _warm before launching, so a
-        # burst of swaps at one shape costs one compile + fast skips.
-        if key in self._warm:
-            return
+        import weakref
+
         with self._qcond:
             if self._stopping:
                 return
@@ -713,10 +762,24 @@ class BatchingSearcher(Searcher):
                 snapshot.file_view.get("view_token", id(snapshot.file_view)),
                 snapshot.mem_view.get("view_token", id(snapshot.mem_view)),
             )
-        import weakref
-
-        self._precompiling.add(key)
-        self._precompile_q.put((weakref.ref(snapshot), params, 1, key))
+        # 128 first (the real-fingerprint bucket), then 256: once the 256
+        # program is warm it SUPERSETS every fingerprint-sized bucket, so a
+        # first query on any cold bucket serves through it (_pick_program)
+        # instead of 503ing behind an inline compile.
+        #
+        # Dedupe on _warm only, NOT on _precompiling: a queued item for the
+        # same shape may hold a weakref to a snapshot this very swap just
+        # superseded — the loop will skip it dead, and deduping against it
+        # would leave the shape cold forever.  This item carries its own
+        # (live) snapshot; the loop re-checks _warm before launching, so a
+        # burst of swaps at one shape costs one compile + fast skips.
+        for bucket in (QUERY_BUCKETS[1], QUERY_BUCKETS[2]):
+            params = _params_for(bucket)
+            key = self._shape_key(snapshot, params, 1)
+            if key in self._warm:
+                continue
+            self._precompiling.add(key)
+            self._precompile_q.put((weakref.ref(snapshot), params, 1, key))
 
     def _precompile_loop(self) -> None:
         """Compiles exact batch buckets off the dispatch path.  The dummy
@@ -801,6 +864,23 @@ class BatchingSearcher(Searcher):
         return packed
 
     @staticmethod
+    def _pack_rows_rebucketed(params: SearchParams, bucket_from: int, rows, b: int):
+        """_pack_rows, re-padding (bucket_from+4) request rows into a LARGER
+        query bucket's row width (the superset-serving path: queries keep
+        their leading position, the len/limit/min_score/pct tail moves to
+        the wider row's tail; the zero padding in between is masked by the
+        kernel's q_len check)."""
+        if params.query_len == bucket_from:
+            return BatchingSearcher._pack_rows(params, rows, b)
+        Qf, Qt = bucket_from, params.query_len
+        packed = np.zeros((b, Qt + 4), np.uint32)
+        packed[:, Qt + 1] = 1  # limit >= 1 for padding rows
+        for i, r in enumerate(rows):
+            packed[i, :Qf] = r[:Qf]
+            packed[i, Qt:] = r[Qf:]
+        return packed
+
+    @staticmethod
     def _pack_batch(params: SearchParams, requests, b: Optional[int] = None):
         """(padded, q_len, options) tuples -> ONE packed (b, Q+4) u32 input
         array (each host->device array costs a sync round trip on tunneled
@@ -830,7 +910,7 @@ class BatchingSearcher(Searcher):
 
         return search_segments_batch_packed_io(
             params,
-            tier_view_for_search(snapshot.file_view),
+            tier_view_for_search(snapshot.file_view, mentions=False),
             tier_view_for_search(snapshot.mem_view),
             packed_in,
         )

@@ -105,6 +105,39 @@ def build_mention_table(segments: "Sequence[Segment]"):
     return np.ascontiguousarray(ids[last]), np.ascontiguousarray(ords[last])
 
 
+def filter_superseded(segments: "Sequence[Segment]"):
+    """Per-segment (hashes, docids) with within-tier superseded postings
+    dropped: segment k keeps a posting iff NO newer segment mentions its
+    doc — the reference's hasNewerCommit discard (Index.zig:133-149) moved
+    to pack time.  Works newest-to-oldest against a growing suffix union
+    of newer segments' mentioned docs, so the big oldest slot searches a
+    table the size of the RECENT docs (thousands), not the whole corpus;
+    doc-range-disjoint segments (append-only ingest) skip entirely."""
+    S = len(segments)
+    out: list = [None] * S
+    suffix = np.empty(0, np.uint32)  # sorted unique docs of segments > k
+    suffix_min = suffix_max = None
+    for k in range(S - 1, -1, -1):
+        s = segments[k]
+        if (
+            suffix.size == 0
+            or s.num_items == 0
+            or s.min_doc_id > suffix_max
+            or s.max_doc_id < suffix_min
+        ):
+            out[k] = (s.hashes, s.docids)
+        else:
+            idx = np.searchsorted(suffix, s.docids)
+            hit = suffix[np.minimum(idx, suffix.shape[0] - 1)] == s.docids
+            keep = ~hit
+            out[k] = (s.hashes[keep], s.docids[keep])
+        if k > 0 and s.num_docs:
+            suffix = np.union1d(suffix, s.docs_ids) if suffix.size else np.array(s.docs_ids)
+            suffix_min = int(suffix[0])
+            suffix_max = int(suffix[-1])
+    return out
+
+
 def _pack_runs(arrays: Sequence[np.ndarray], cap: int, fill) -> np.ndarray:
     out = np.full(cap, fill, dtype=arrays[0].dtype if arrays else np.uint32)
     pos = 0
@@ -120,22 +153,33 @@ def pack_tier(
     min_cap: int = 1024,
     min_slots: int = 0,
     min_caps: Optional[Tuple[int, int, int]] = None,
+    device_mentions: bool = True,
 ) -> Dict:
     """Pack segments (oldest -> newest) into one padded tier pytree.
 
     The tier's postings are ONE merged hash-sorted run ("comb layout"):
-    all segments' (hash, docid) pairs sorted by hash, with a per-posting
-    tier-local ORDINAL column when the tier holds more than one segment.
-    The range phase then costs one lookup per query hash regardless of the
-    segment count — S-independent, unlike the reference's per-segment scans
-    (Index.zig:170-177) — and the scoring pipeline reads each posting's
-    ordinal from the `ord` column instead of deriving it from which
-    per-segment range produced it.  The stable sort keeps equal-hash
-    entries in segment (= ordinal) order.
+    all segments' (hash, docid) pairs sorted by hash.  The range phase then
+    costs one lookup per query hash regardless of the segment count —
+    S-independent, unlike the reference's per-segment scans
+    (Index.zig:170-177).
 
-    `seg_len`/`docs_*` stay per-slot (slot k = ordinal k): supersession
-    ordinals, mention building, and merge bookkeeping rely on them; the sum
-    of seg_len is the tier's live posting count.
+    WITHIN-TIER SUPERSESSION IS RESOLVED AT PACK TIME: a posting whose doc
+    is mentioned (insert or tombstone) by any NEWER segment in the same
+    tier is dropped from the comb — exactly the postings the reference's
+    hasNewerCommit check (Index.zig:133-149) would discard at query time.
+    The surviving comb therefore holds each doc's postings in exactly ONE
+    segment, which removes the per-posting ordinal column entirely: the
+    scoring kernel's "newest segment with a hit wins" reduces to the
+    structural tier id (file=0, memory=1), and query-time supersession
+    reduces to a membership test against the MEMORY tier's mention table
+    (the only tier that can be newer than another).  This is the measured
+    difference between 3 HBM gather columns per posting and 1, and between
+    a 2M-entry blocked mention lookup per candidate batch and none.
+
+    `seg_len`/`docs_*` stay per-slot (slot k = ordinal k): seg_len holds
+    each segment's SURVIVING posting count (sum = the comb's live length);
+    docs arrays are unfiltered (mention building and merge bookkeeping
+    need every mention).
 
     `min_slots`/`min_caps` (postings, docs, mention minimum capacities) let
     the searcher pin shapes at a high-water mark so a write-heavy serving
@@ -151,6 +195,11 @@ def pack_tier(
 
     from ..ops.pallas_lookup import BLOCK
 
+    mention_ids, _mention_ord = build_mention_table(segments)
+
+    # Pack-time supersession filter (see docstring and filter_superseded).
+    live_items = filter_superseded(segments)
+
     seg_len = np.zeros(slots, dtype=np.int32)
     seg_start = np.zeros(slots, dtype=np.int32)
     docs_len = np.zeros(slots, dtype=np.int32)
@@ -158,8 +207,8 @@ def pack_tier(
     pos = dpos = 0
     for k, s in enumerate(segments):
         seg_start[k] = pos
-        seg_len[k] = s.num_items
-        pos += s.num_items
+        seg_len[k] = live_items[k][0].shape[0]
+        pos += seg_len[k]
         docs_start[k] = dpos
         docs_len[k] = s.num_docs
         dpos += s.num_docs
@@ -171,24 +220,14 @@ def pack_tier(
 
     hashes = np.full(cap, SENTINEL32, dtype=np.uint32)
     docids = np.full(cap, SENTINEL32, dtype=np.uint32)
-    ord_arr = None
     if segments:
-        all_h = np.concatenate([s.hashes for s in segments])
-        all_d = np.concatenate([s.docids for s in segments])
+        all_h = np.concatenate([h for h, _ in live_items])
+        all_d = np.concatenate([d for _, d in live_items])
         if len(segments) > 1:
-            all_o = np.concatenate(
-                [np.full(s.num_items, k, np.int32) for k, s in enumerate(segments)]
-            )
-            order = np.argsort(all_h, kind="stable")  # ties stay ordinal-asc
-            all_h, all_d, all_o = all_h[order], all_d[order], all_o[order]
+            order = np.argsort(all_h, kind="stable")  # ties stay segment-asc
+            all_h, all_d = all_h[order], all_d[order]
         hashes[: all_h.shape[0]] = all_h
         docids[: all_d.shape[0]] = all_d
-        if slots > 1:
-            ord_arr = np.zeros(cap, np.int32)
-            if len(segments) > 1:
-                ord_arr[: all_o.shape[0]] = all_o
-    elif slots > 1:
-        ord_arr = np.zeros(cap, np.int32)
     block_index = np.ascontiguousarray(hashes[::BLOCK])
 
     # Tiers served by the blocked (per-lookup DMA) range path interleave
@@ -205,24 +244,29 @@ def pack_tier(
         [s.docs_alive.astype(np.int32) for s in segments], dcap, np.int32(0)
     )
 
-    mention_ids, mention_ord = build_mention_table(segments)
     mcap = _bucket(max(mention_ids.shape[0], 1), mmin)
     m_ids = np.full(mcap, SENTINEL32, np.uint32)
     m_ids[: mention_ids.shape[0]] = mention_ids
-    m_ord = np.full(mcap, -1, np.int32)
-    m_ord[: mention_ord.shape[0]] = mention_ord
 
     out = {
         "block_index": jnp.asarray(block_index),
         "seg_start": jnp.asarray(seg_start),
         "seg_len": jnp.asarray(seg_len),
-        "docs_ids": jnp.asarray(docs_ids),
-        "docs_alive": jnp.asarray(docs_alive),
-        "docs_start": jnp.asarray(docs_start),
-        "docs_len": jnp.asarray(docs_len),
-        "mention_ids": jnp.asarray(m_ids),
-        "mention_ord": jnp.asarray(m_ord),
-        "mention_len": jnp.asarray(np.int32(mention_ids.shape[0])),
+        # docs_* stay HOST-side (numpy): no kernel reads them — they feed
+        # shape bookkeeping and host merge paths.  Uploading them burned
+        # ~1GB of HBM at 134M docs for nothing.
+        "docs_ids": docs_ids,
+        "docs_alive": docs_alive,
+        "docs_start": docs_start,
+        "docs_len": docs_len,
+        # The mention table is device data only where the kernel consults
+        # it — the MEMORY tier.  The file tier's (device_mentions=False)
+        # stays host-side: within-tier supersession is resolved at pack
+        # time and no tier is ever newer than the memory tier.
+        "mention_ids": jnp.asarray(m_ids) if device_mentions else m_ids,
+        "mention_len": jnp.asarray(np.int32(mention_ids.shape[0]))
+        if device_mentions
+        else np.int32(mention_ids.shape[0]),
         "view_token": next(_VIEW_TOKENS),
     }
     if inter is not None:
@@ -230,8 +274,6 @@ def pack_tier(
     else:
         out["hashes"] = jnp.asarray(hashes)
         out["docids"] = jnp.asarray(docids)
-    if ord_arr is not None:
-        out["ord"] = jnp.asarray(ord_arr)
     return out
 
 
@@ -239,21 +281,26 @@ SEARCH_TIER_FIELDS = (
     "hashes",
     "docids",
     "inter",  # interleaved postings blocks (replaces hashes/docids on large tiers)
-    "ord",  # per-posting tier-local ordinal (absent on single-slot tiers)
     "block_index",
     "seg_start",
     "seg_len",
-    "docs_len",  # per-slot mention counts: drives the supersession skip
+    # Mention MEMBERSHIP table: within-tier supersession is resolved at
+    # pack time, so the kernel only ever asks "does the memory tier mention
+    # this doc" — no per-doc ordinal column needed.
     "mention_ids",
-    "mention_ord",
     "mention_len",
 )
 
 
-def tier_view_for_search(tier: Dict) -> Dict:
-    """The search kernel's input pytree: postings + the merged mention table
-    (the per-segment docs arrays are merge-only)."""
-    return {k: tier[k] for k in SEARCH_TIER_FIELDS if k in tier}
+def tier_view_for_search(tier: Dict, mentions: bool = True) -> Dict:
+    """The search kernel's input pytree: postings (+ the mention membership
+    table when `mentions` — the MEMORY tier; the file tier's table is never
+    consulted at query time, so its callers pass mentions=False and the
+    possibly-host-side arrays never ride into a jit)."""
+    fields = SEARCH_TIER_FIELDS if mentions else tuple(
+        f for f in SEARCH_TIER_FIELDS if not f.startswith("mention")
+    )
+    return {k: tier[k] for k in fields if k in tier}
 
 
 @dataclass(frozen=True)

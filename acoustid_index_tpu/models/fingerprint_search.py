@@ -78,7 +78,6 @@ class FingerprintSearchModel:
             "seg_start": jnp.zeros(FILE_SLOTS, jnp.int32),
             "seg_len": jnp.zeros(FILE_SLOTS, jnp.int32).at[0].set(n),
             "mention_ids": pad(docs, dcap),
-            "mention_ord": jnp.zeros(dcap, jnp.int32),
             "mention_len": jnp.int32(m),
         }
         mem_tier = {
@@ -88,7 +87,6 @@ class FingerprintSearchModel:
             "seg_start": jnp.zeros(MEMORY_SLOTS, jnp.int32),
             "seg_len": jnp.zeros(MEMORY_SLOTS, jnp.int32),
             "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
-            "mention_ord": jnp.full(1024, -1, jnp.int32),
             "mention_len": jnp.int32(0),
         }
         return TermTable(file_tier=file_tier, mem_tier=mem_tier, n_postings=n, n_docs=m)

@@ -98,14 +98,29 @@ def docid_index(idx):
     return ((idx >> _BLOCK_SHIFT) << (_BLOCK_SHIFT + 1)) + BLOCK + (idx & (BLOCK - 1))
 
 
+def _inter_gather(inter, idx, payload: bool):
+    """Gather from the interleaved array via a (free) 2-D reshape: a FLAT
+    index into a >=2^31-entry array needs int64 indexing, which jax
+    silently truncates to int32 without x64 — positions past 2^31 wrapped
+    NEGATIVE, corrupting reads of the final blocks at exactly 2^30 packed
+    postings (= the 134M bench corpus).  Row/column indices stay far below
+    2^31 at any realizable capacity."""
+    import jax.numpy as jnp
+
+    idx = idx.astype(jnp.uint32)
+    rows = (idx >> _BLOCK_SHIFT).astype(jnp.int32)
+    cols = ((idx & (BLOCK - 1)) + (BLOCK if payload else 0)).astype(jnp.int32)
+    return inter.reshape(-1, 2 * BLOCK)[rows, cols]
+
+
 def hash_gather(tier, idx):
     """tier hash at posting index `idx` (caller clips idx to the cap)."""
     if "inter" in tier:
-        return tier["inter"][hash_index(idx)]
+        return _inter_gather(tier["inter"], idx, payload=False)
     return tier["hashes"][idx]
 
 
 def docid_gather(tier, idx):
     if "inter" in tier:
-        return tier["inter"][docid_index(idx)]
+        return _inter_gather(tier["inter"], idx, payload=True)
     return tier["docids"][idx]

@@ -794,7 +794,9 @@ def _pad_to_block(a):
 
 
 def mention_lookup_blocked(tier, cand_flat, valid=None):
-    """Newest tier-local mention ordinal per candidate.
+    """Bool: the tier mentions each candidate doc (membership test; the
+    kernel resolves within-tier supersession at pack time, so membership
+    is all it ever needs — see search_kernel._batch_newest).
 
     Mention ids are UNIQUE per doc (a key never spans blocks; the in-block
     equality count is 0 or 1), so the lookup has no straddle cases:
@@ -817,9 +819,7 @@ def mention_lookup_blocked(tier, cand_flat, valid=None):
         c = jnp.clip(ub2 - 1, 0, mini.shape[0] - 1)
         lt, eq = block_lookup_resident(ids, c, cand_flat)
         lo = c * BLOCK + lt
-        lo_c = jnp.clip(lo, 0, cap - 1)
-        found = jnp.logical_and(eq > 0, lo < tier["mention_len"])
-        return jnp.where(found, tier["mention_ord"][lo_c], -1)
+        return jnp.logical_and(eq > 0, lo < tier["mention_len"])
 
     top = _pad_to_block(ids[::BLOCK])
     nblk = ids.shape[0] // BLOCK
@@ -842,6 +842,4 @@ def mention_lookup_blocked(tier, cand_flat, valid=None):
         # the block and the pipeline skips their DMA.
         blk = jnp.where(valid, blk, 0)
     lo, cnt = block_lookup(ids, blk, cand_flat)
-    lo_c = jnp.clip(lo, 0, ids.shape[0] - 1)
-    found = jnp.logical_and(cnt > 0, lo < tier["mention_len"])
-    return jnp.where(found, tier["mention_ord"][lo_c], -1)
+    return jnp.logical_and(cnt > 0, lo < tier["mention_len"])

@@ -56,14 +56,24 @@ import numpy as _np
 SENTINEL = _np.uint32(0xFFFFFFFF)
 
 # Pytree layout of one tier of a packed segment view (see engine/segments.py):
-#   hashes:   u32[CAP]   postings sort key, packed contiguously per segment
+#   hashes:   u32[CAP]   postings sort key (one merged hash-sorted run)
 #   docids:   u32[CAP]   postings payload
 #   seg_start i32[S], seg_len i32[S]   slot table (len 0 = unused slot)
 #   block_index u32[CAP/BLOCK] sampled top index (see ops/pallas_lookup.py)
-#   mention_ids u32[MCAP]  merged sorted mentioned-doc table
-#   mention_ord i32[MCAP]  newest tier-local ordinal per mentioned doc
+#   mention_ids u32[MCAP]  merged sorted mentioned-doc table (membership)
 #   mention_len i32[]      live entries in the mention table
 # (canonical field list: engine/segments.py SEARCH_TIER_FIELDS)
+#
+# WITHIN-TIER supersession is resolved at PACK time (pack_tier drops any
+# posting whose doc a newer segment of the same tier mentions), so each
+# doc's surviving postings live in exactly one segment per tier.  The
+# "newest segment with a hit wins" ordinal is therefore structural — the
+# tier id itself (TIER_FILE=0, TIER_MEM=1) — and query-time supersession
+# reduces to "does the MEMORY tier mention this file-tier candidate".
+
+TIER_FILE = 0
+TIER_MEM = 1
+ORD_INVALID = 2  # > any real tier ordinal; tags invalid gather slots
 
 
 @dataclass(frozen=True)
@@ -99,19 +109,19 @@ def _tier_ranges(tier, queries, valid_q, cap_k):
     return lo, jnp.minimum(counts, cap_k), jnp.any(counts > cap_k)
 
 
-def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts, use_mem: bool = True):
+def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo, m_counts, use_mem: bool = True, use_file: bool = True):
     """Stage 2 for ONE query: ragged->dense gather from per-tier (Q,) run
     ranges over each tier's merged postings.  Returns per-posting (docid,
-    global ordinal, invalid flag) and the number of postings gathered.
-    Ordinals come from the tiers' per-posting `ord` column (constant 0 for
-    single-slot tiers, which then skip the gather entirely).
+    tier ordinal, invalid flag) and the number of postings gathered.
+    Ordinals are STRUCTURAL (TIER_FILE/TIER_MEM): pack-time filtering
+    guarantees one segment per doc per tier, so no ordinal column exists.
 
     `use_mem=False` compiles a variant with no memory-tier gather, selected
     at runtime by the caller's lax.cond when the memory tier is empty (the
-    fully-merged steady state)."""
+    fully-merged steady state); `use_file=False` is the mirror for
+    mem-only gathers (the direct path's memory-tier side, where the caller
+    passes zeroed file counts)."""
     Q, P = p.query_len, p.postings_budget
-    S_F = file_tier["seg_start"].shape[0]
-    S = S_F + mem_tier["seg_start"].shape[0]
 
     # Flat index j in [0, 2Q): file-tier hash j < Q, memory-tier hash j - Q.
     flat_counts = jnp.concatenate([f_counts.reshape(-1), m_counts.reshape(-1)])
@@ -154,21 +164,24 @@ def _plan_and_gather(p: SearchParams, file_tier, mem_tier, f_lo, f_counts, m_lo,
         src = flat_lo[j] + within
     p_valid = pos < total
 
-    src_f = jnp.clip(src, 0, postings_cap(file_tier) - 1)
-    f_vals = docid_gather(file_tier, src_f)
-    f_ord = file_tier["ord"][src_f] if "ord" in file_tier else jnp.int32(0)
+    is_mem = j >= Q
+    if use_file:
+        src_f = jnp.clip(src, 0, postings_cap(file_tier) - 1)
+        f_vals = docid_gather(file_tier, src_f)
     if use_mem:
-        is_mem = j >= Q
         src_m = jnp.clip(src, 0, postings_cap(mem_tier) - 1)
         m_vals = docid_gather(mem_tier, src_m)
-        m_ord = (mem_tier["ord"][src_m] if "ord" in mem_tier else jnp.int32(0)) + jnp.int32(S_F)
+    if use_file and use_mem:
         vals = jnp.where(is_mem, m_vals, f_vals)
-        ords = jnp.where(is_mem, m_ord, f_ord)
-    else:
+        ords = jnp.where(is_mem, TIER_MEM, TIER_FILE)
+    elif use_file:
         vals = f_vals
-        ords = jnp.broadcast_to(f_ord, f_vals.shape)
+        ords = jnp.broadcast_to(jnp.int32(TIER_FILE), f_vals.shape)
+    else:
+        vals = m_vals
+        ords = jnp.broadcast_to(jnp.int32(TIER_MEM), m_vals.shape)
     d = jnp.where(p_valid, vals, SENTINEL)
-    o = jnp.where(p_valid, ords, S).astype(jnp.int32)
+    o = jnp.where(p_valid, ords, ORD_INVALID).astype(jnp.int32)
     inv = jnp.logical_not(p_valid).astype(jnp.int32)
     return d, o, inv, total, grand_total > P
 
@@ -263,8 +276,8 @@ def _batch_ranges(p: SearchParams, file_tier, mem_tier, queries, q_lens, want_em
     return f_lo, f_cnt, m_lo, m_cnt, jnp.logical_or(f_tr, m_tr)
 
 
-def tier_newest_ord(tier, cand_ids):
-    """Tier-local newest mention ordinal per candidate (-1 = not mentioned):
+def tier_mentions(tier, cand_ids):
+    """Bool: the tier mentions each candidate doc (insert or tombstone).
     ONE binary search over the tier's merged mention table."""
     cap = tier["mention_ids"].shape[0]
     lo = lower_bound(
@@ -272,11 +285,10 @@ def tier_newest_ord(tier, cand_ids):
         steps=steps_for(cap),
     )
     lo_c = jnp.clip(lo, 0, cap - 1)
-    found = jnp.logical_and(lo < tier["mention_len"], tier["mention_ids"][lo_c] == cand_ids)
-    return jnp.where(found, tier["mention_ord"][lo_c], -1)
+    return jnp.logical_and(lo < tier["mention_len"], tier["mention_ids"][lo_c] == cand_ids)
 
 
-def tier_newest_ord_dense(tier, cand_ids):
+def tier_mentions_dense(tier, cand_ids):
     """Dense variant for SMALL mention tables: one vectorized compare of
     every candidate against the whole table beats per-candidate binary
     search (XLA lowers each search step to a dependent per-element gather
@@ -286,7 +298,7 @@ def tier_newest_ord_dense(tier, cand_ids):
     cap = ids.shape[0]
     live = jnp.arange(cap, dtype=jnp.int32)[None, :] < tier["mention_len"]
     eq = jnp.logical_and(ids[None, :] == cand_ids[:, None], live)
-    return jnp.max(jnp.where(eq, tier["mention_ord"][None, :], -1), axis=1)
+    return jnp.any(eq, axis=1)
 
 
 def _score_rank(p: SearchParams, d, o, inv, min_score):
@@ -374,54 +386,39 @@ def _final_select(p: SearchParams, cd, co, csc, c_valid, newest, limit, min_scor
     }
 
 
-def segments_mentioning(file_tier, mem_tier) -> jax.Array:
-    """How many segments carry any doc mentions (insert or tombstone).
-    Falls back to postings-bearing slots when the view carries no docs_len
-    (hand-built bench tiers)."""
-    def count(tier):
-        key = "docs_len" if "docs_len" in tier else "seg_len"
-        return jnp.sum((tier[key] > 0).astype(jnp.int32))
+def _batch_newest(mem_tier, cand_flat, valid_flat, mem_mentions_any=None):
+    """Newest mention TIER ordinal for a flattened candidate stream: with
+    within-tier supersession resolved at pack time, the only query-time
+    supersession left is "a memory-tier mention kills a file-tier
+    candidate" — a membership test against the (small) memory-tier mention
+    table.  Returns TIER_MEM where mentioned, -1 otherwise.
 
-    return count(file_tier) + count(mem_tier)
-
-
-def _batch_newest(file_tier, mem_tier, cand_flat, valid_flat, n_mentioning=None):
-    """Newest global mention ordinal for a flattened candidate stream,
-    using the Pallas blocked lookup on big mention tables.
-
-    With at most ONE mention-bearing segment in the whole snapshot (the
-    steady state of a fully-merged read-heavy index), supersession is
-    structurally impossible — every posting's winning ordinal IS its only
-    mention — so the lookups are skipped at runtime (lax.cond picks the
-    branch per call; the big-table branch still compiles).  Sharded callers
-    must pass `n_mentioning` computed GLOBALLY (a shard can hold one
-    segment's doc entries while another shard holds a newer segment's)."""
+    With no memory-tier mentions at all (the fully-merged steady state AND
+    every pure-file state), the lookup is skipped at runtime (lax.cond; the
+    table branch still compiles).  Sharded callers must pass
+    `mem_mentions_any` computed GLOBALLY (candidate docs are docid-range
+    sharded: another shard can hold the mention this shard lacks)."""
     from .pallas_lookup import BLOCK, mention_lookup_blocked
 
-    S_F = file_tier["seg_start"].shape[0]
-
     def lookup(_):
-        outs = []
-        for tier, offset in ((file_tier, 0), (mem_tier, S_F)):
-            cap = tier["mention_ids"].shape[0]
-            if cap % BLOCK == 0 and cap > 4096:
-                # Resident/two-level lookup (no per-candidate XLA binary
-                # search — ~10 dependent gathers per candidate is the slow
-                # path at any size worth blocking).
-                ord_local = mention_lookup_blocked(tier, cand_flat, valid_flat)
-            elif cap * cand_flat.shape[0] <= (1 << 28):
-                ord_local = tier_newest_ord_dense(tier, cand_flat)
-            else:
-                ord_local = tier_newest_ord(tier, cand_flat)
-            outs.append(jnp.where(ord_local >= 0, ord_local + offset, -1))
-        return jnp.maximum(outs[0], outs[1])
+        cap = mem_tier["mention_ids"].shape[0]
+        if cap % BLOCK == 0 and cap > 4096:
+            # Resident/two-level lookup (no per-candidate XLA binary
+            # search — ~10 dependent gathers per candidate is the slow
+            # path at any size worth blocking).
+            found = mention_lookup_blocked(mem_tier, cand_flat, valid_flat)
+        elif cap * cand_flat.shape[0] <= (1 << 28):
+            found = tier_mentions_dense(mem_tier, cand_flat)
+        else:
+            found = tier_mentions(mem_tier, cand_flat)
+        return jnp.where(found, TIER_MEM, -1).astype(jnp.int32)
 
-    if n_mentioning is None:
-        n_mentioning = segments_mentioning(file_tier, mem_tier)
+    if mem_mentions_any is None:
+        mem_mentions_any = mem_tier["mention_len"] > 0
     return jax.lax.cond(
-        n_mentioning <= 1,
-        lambda _: jnp.full(cand_flat.shape, -1, jnp.int32),
+        mem_mentions_any,
         lookup,
+        lambda _: jnp.full(cand_flat.shape, -1, jnp.int32),
         operand=None,
     )
 
@@ -442,6 +439,7 @@ def small_budget(p: SearchParams, f_cnt, m_cnt, B: int):
 
 
 F_DIRECT = 16  # fallback gather slots per query on the direct path
+P_MEM_DIRECT = 64  # memory-tier gather slots per query on the direct path
 
 
 def _direct_candidates(p: SearchParams, file_tier, rows, covered, f_lo, f_cnt, lanes_per_hash: int):
@@ -574,7 +572,6 @@ def _final_select_matrix(p: SearchParams, d, score, win, cand, newest, limit, mi
 def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, limits, min_scores, pcts):
     """(B, Q) batch: one range phase for the whole batch (Pallas-friendly),
     then plan + score vmapped per query."""
-    S = file_tier["seg_start"].shape[0] + mem_tier["seg_start"].shape[0]
     B = queries.shape[0]
     # The emitting range phase powers the gather-free direct path; the
     # emission itself costs nothing over the plain landing kernel, but the
@@ -643,8 +640,8 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         )
 
         # Supersession runs once for the whole batch's candidate stream so
-        # the blocked mention lookup never sits under vmap.
-        newest = _batch_newest(file_tier, mem_tier, cd.reshape(-1), c_valid.reshape(-1)).reshape(cd.shape)
+        # the mention lookup never sits under vmap.
+        newest = _batch_newest(mem_tier, cd.reshape(-1), c_valid.reshape(-1)).reshape(cd.shape)
 
         def select_query(cd1, co1, csc1, cv1, nw1, limit, min_score, pct, total, over):
             out = _final_select(p, cd1, co1, csc1, cv1, nw1, limit, min_score, pct)
@@ -673,9 +670,7 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
             d, win, score, cand, totals, overs = jax.vmap(score_one)(
                 f_lo, f_cnt, m_lo, m_cnt, min_scores
             )
-            newest = _batch_newest(
-                file_tier, mem_tier, d.reshape(-1), cand.reshape(-1)
-            ).reshape(d.shape)
+            newest = _batch_newest(mem_tier, d.reshape(-1), cand.reshape(-1)).reshape(d.shape)
 
             def select_one(d1, win1, score1, cand1, nw1, limit, min_score, pct, total, over):
                 out = _final_select_matrix(p, d1, score1, win1, cand1, nw1, limit, min_score, pct)
@@ -702,33 +697,63 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
         )
 
     if emit_info is not None:
-        # Direct path: gather-free candidates straight from the emitted
-        # landing-block rows (see _direct_candidates).  Engages at runtime
-        # in the fully-merged steady state — all postings in file slot 0
-        # (so every ordinal is provably 0), no memory-tier postings — when
-        # every query's fallback remainder fits F_DIRECT.
+        # Direct path: gather-free FILE-tier candidates straight from the
+        # emitted landing-block rows (see _direct_candidates).  Pack-time
+        # filtering makes file ordinals structurally 0 for ANY slot count,
+        # so the path engages whenever every query's fallback remainder
+        # fits F_DIRECT — including the write-heavy multi-checkpoint state;
+        # memory-tier postings ride along through a tiny-budget gather
+        # (P_MEM_DIRECT) that self-skips when the tier is empty.
         rows, covered = emit_info
         E_direct = 2 if p.query_len <= 128 else 1
         ov_tot = jnp.sum(
             jnp.maximum(f_cnt - jnp.where(covered, E_direct, 0), 0), axis=1
         )
-        file_ord0 = jnp.sum(file_tier["seg_len"][1:]) == 0
+        m_tot = jnp.sum(m_cnt, axis=1)
         direct_ok = jnp.logical_and(
-            jnp.logical_and(jnp.logical_not(has_mem), file_ord0),
-            jnp.max(ov_tot) <= F_DIRECT,
+            jnp.max(ov_tot) <= F_DIRECT, jnp.max(m_tot) <= P_MEM_DIRECT
         )
 
         def direct_path(_):
-            d, inv, totals = _direct_candidates(
+            import dataclasses
+
+            d_f, inv_f, totals_f = _direct_candidates(
                 p, file_tier, rows, covered, f_lo, f_cnt, E_direct
             )
-            o = jnp.zeros(d.shape, jnp.int32)
+            p_mem = dataclasses.replace(p, postings_budget=P_MEM_DIRECT)
+
+            def mem_branch(_):
+                def one(f_lo1, m_lo1, m_cnt1):
+                    dm, _om, im, tot, _over = _plan_and_gather(
+                        p_mem, file_tier, mem_tier, f_lo1, jnp.zeros_like(m_cnt1),
+                        m_lo1, m_cnt1, use_mem=True, use_file=False,
+                    )
+                    return dm, im, tot
+
+                return jax.vmap(one)(f_lo, m_lo, m_cnt)
+
+            def no_mem(_):
+                return (
+                    jnp.full((B, P_MEM_DIRECT), SENTINEL, jnp.uint32),
+                    jnp.ones((B, P_MEM_DIRECT), jnp.int32),
+                    jnp.zeros((B,), jnp.int32),
+                )
+
+            d_m, inv_m, totals_m = jax.lax.cond(has_mem, mem_branch, no_mem, None)
+            d = jnp.concatenate([d_f, d_m], axis=1)
+            inv = jnp.concatenate([inv_f, inv_m], axis=1)
+            o = jnp.concatenate(
+                [
+                    jnp.zeros(d_f.shape, jnp.int32),
+                    jnp.full(d_m.shape, TIER_MEM, jnp.int32),
+                ],
+                axis=1,
+            )
+            totals = totals_f + totals_m
             win, score, cand = jax.vmap(
                 lambda d1, o1, i1, ms: _score_matrix(p, d1, o1, i1, ms)
             )(d, o, inv, min_scores)
-            newest = _batch_newest(
-                file_tier, mem_tier, d.reshape(-1), cand.reshape(-1)
-            ).reshape(d.shape)
+            newest = _batch_newest(mem_tier, d.reshape(-1), cand.reshape(-1)).reshape(d.shape)
 
             def select_one(d1, win1, score1, cand1, nw1, limit, min_score, pct, total, tr):
                 out = _final_select_matrix(p, d1, score1, win1, cand1, nw1, limit, min_score, pct)

@@ -98,7 +98,7 @@ class ShardedBatchingSearcher(BatchingSearcher):
         limits = packed_in[:, Q + 1].astype(np.int32)
         min_scores = packed_in[:, Q + 2].astype(np.int32)
         pcts = packed_in[:, Q + 3].astype(np.int32)
-        fview = tier_view_for_search(snapshot.file_view)
+        fview = tier_view_for_search(snapshot.file_view, mentions=False)
         mview = tier_view_for_search(snapshot.mem_view)
         return sharded_search_batch_packed(
             params, self.mesh, fview, mview, qs, lens, limits, min_scores, pcts

@@ -38,7 +38,6 @@ from ..ops.search_kernel import (
     _final_select,
     _plan_and_gather,
     _score_rank,
-    tier_newest_ord,
 )
 from ..ops.pallas_lookup import BLOCK
 from ..engine.memseg import Segment
@@ -83,7 +82,15 @@ def _pack_tier_sharded(
     min_caps: Optional[Tuple[int, int, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Partition each segment's postings by hash range and docs by docid
-    range; pack per shard (slot k = ordinal k, same as pack_tier)."""
+    range; pack per shard (slot k = ordinal k, same as pack_tier).
+
+    Pack-time supersession filtering happens GLOBALLY before partitioning
+    (exactly pack_tier's rule: a posting survives iff no newer segment of
+    the tier mentions its doc) — the packer holds the full segment set, so
+    a shard's comb never contains postings another shard's mention entry
+    would have killed.  Mention tables stay membership-only."""
+    from ..engine.segments import filter_superseded
+
     bounds = hash_bounds(n_shards)
     per_shard_items: List[List[np.ndarray]] = [[] for _ in range(n_shards)]
     per_shard_ids: List[List[np.ndarray]] = [[] for _ in range(n_shards)]
@@ -93,42 +100,34 @@ def _pack_tier_sharded(
     if len(segments) > slots:
         raise ValueError(f"too many segments for tier: {len(segments)} > {slots}")
 
-    for seg in segments:
-        h64 = seg.hashes.astype(np.uint64)
+    live_items = filter_superseded(segments)
+    for s_idx, seg in enumerate(segments):
+        hashes, docids = live_items[s_idx]
+        h64 = hashes.astype(np.uint64)
         cuts = np.searchsorted(h64, bounds)
         d64 = seg.docs_ids.astype(np.uint64)
         dcuts = np.searchsorted(d64, bounds)
         for k in range(n_shards):
-            per_shard_items[k].append(seg.hashes[cuts[k] : cuts[k + 1]])
-            per_shard_ids[k].append(seg.docids[cuts[k] : cuts[k + 1]])
+            per_shard_items[k].append(hashes[cuts[k] : cuts[k + 1]])
+            per_shard_ids[k].append(docids[cuts[k] : cuts[k + 1]])
             per_shard_docs[k].append(seg.docs_ids[dcuts[k] : dcuts[k + 1]])
             per_shard_alive[k].append(seg.docs_alive[dcuts[k] : dcuts[k + 1]].astype(np.int32))
 
     cmin, dmin, mmin = min_caps or (min_cap, min_cap, min_cap)
     dcap = _bucket(max((sum(a.shape[0] for a in chunks) for chunks in per_shard_docs), default=1), dmin)
 
-    # Per-shard merged mention table (docid -> newest tier-local ordinal).
+    # Per-shard merged mention MEMBERSHIP table (unique sorted docids).
     mention = []
     for k in range(n_shards):
         ids_k = np.concatenate(per_shard_docs[k]) if per_shard_docs[k] else np.empty(0, np.uint32)
-        ords_k = (
-            np.concatenate(
-                [np.full(a.shape[0], s_idx, np.int32) for s_idx, a in enumerate(per_shard_docs[k])]
-            )
-            if per_shard_docs[k]
-            else np.empty(0, np.int32)
-        )
-        order = np.argsort(ids_k, kind="stable")
-        ids_k, ords_k = ids_k[order], ords_k[order]
-        last = np.ones(ids_k.shape[0], bool)
-        if ids_k.shape[0]:
-            last[:-1] = ids_k[1:] != ids_k[:-1]
-        mention.append((ids_k[last], ords_k[last]))
-    mcap = _bucket(max((m[0].shape[0] for m in mention), default=1), mmin)
+        ids_k = np.unique(ids_k)
+        mention.append(ids_k)
+    mcap = _bucket(max((m.shape[0] for m in mention), default=1), mmin)
 
-    # Each shard packs its hash range as ONE merged sorted run with a
-    # per-posting ordinal column (the comb layout, engine/segments.py
-    # pack_tier): the range phase is then S-independent per shard.
+    # Each shard packs its hash range as ONE merged sorted run (the
+    # pack-time-filtered comb layout, engine/segments.py pack_tier): the
+    # range phase is then S-independent per shard and no ordinal column
+    # exists — within-tier supersession was resolved above.
     def total(chunks):
         return sum(a.shape[0] for a in chunks)
 
@@ -148,15 +147,11 @@ def _pack_tier_sharded(
         "docs_start": np.zeros((n_shards, S), np.int32),
         "docs_len": np.zeros((n_shards, S), np.int32),
         "mention_ids": np.full((n_shards, mcap), 0xFFFFFFFF, np.uint32),
-        "mention_ord": np.full((n_shards, mcap), -1, np.int32),
         "mention_len": np.zeros((n_shards,), np.int32),
         "block_index": np.full((n_shards, cap // BLOCK), 0xFFFFFFFF, np.uint32),
     }
-    if S > 1:
-        out["ord"] = np.zeros((n_shards, cap), np.int32)
-    for k, (mi, mo) in enumerate(mention):
+    for k, mi in enumerate(mention):
         out["mention_ids"][k, : mi.shape[0]] = mi
-        out["mention_ord"][k, : mo.shape[0]] = mo
         out["mention_len"][k] = mi.shape[0]
     for k in range(n_shards):
         pos = 0
@@ -168,19 +163,11 @@ def _pack_tier_sharded(
         if chunks_h:
             all_h = np.concatenate(per_shard_items[k])
             all_d = np.concatenate(per_shard_ids[k])
-            all_o = np.concatenate(
-                [
-                    np.full(a.shape[0], s_idx, np.int32)
-                    for s_idx, a in enumerate(per_shard_items[k])
-                ]
-            )
             if len(chunks_h) > 1:
-                order = np.argsort(all_h, kind="stable")  # ties stay ordinal-asc
-                all_h, all_d, all_o = all_h[order], all_d[order], all_o[order]
+                order = np.argsort(all_h, kind="stable")  # ties stay segment-asc
+                all_h, all_d = all_h[order], all_d[order]
             out["hashes"][k, : all_h.shape[0]] = all_h
             out["docids"][k, : all_d.shape[0]] = all_d
-            if S > 1:
-                out["ord"][k, : all_o.shape[0]] = all_o
         dpos = 0
         for s_idx, a in enumerate(per_shard_docs[k]):
             out["docs_start"][k, s_idx] = dpos
@@ -318,16 +305,15 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
         else:
             cd, co, csc, c_valid, c_over, totals, overs = at_budget(params)(None)
 
-        # Supersession: each candidate doc lives in exactly one docid-range
-        # shard; the blocked mention lookup answers locally, pmax combines.
-        # The skip predicate (<=1 mention-bearing segment) must be GLOBAL: a
-        # shard can hold one segment's doc entries while another shard holds
-        # a newer segment's.
-        n_mentioning = jnp.sum(
-            (jax.lax.pmax(f_search["docs_len"], AXIS) > 0).astype(jnp.int32)
-        ) + jnp.sum((jax.lax.pmax(m_search["docs_len"], AXIS) > 0).astype(jnp.int32))
+        # Supersession: within-tier supersession was resolved at pack time,
+        # so all that's left is "does the MEMORY tier mention this doc".
+        # Each candidate doc lives in exactly one docid-range shard; the
+        # mention lookup answers locally, pmax combines.  The skip
+        # predicate must be GLOBAL (another shard can hold the mention this
+        # shard lacks), hence the pmax over mention_len.
+        mem_mentions_any = jax.lax.pmax(m_search["mention_len"], AXIS) > 0
         local = _batch_newest(
-            f_search, m_search, cd.reshape(-1), c_valid.reshape(-1), n_mentioning
+            m_search, cd.reshape(-1), c_valid.reshape(-1), mem_mentions_any
         )
         newest = jax.lax.pmax(local, AXIS).reshape(cd.shape)
 

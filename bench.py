@@ -187,7 +187,6 @@ def kernel_bench(jax, jnp):
         "mention_ids": jnp.full(1 << 24, 0xFFFFFFFF, jnp.uint32)
         .at[:N_DOCS]
         .set(jnp.asarray(ids_host)),
-        "mention_ord": jnp.zeros(1 << 24, jnp.int32),
         "mention_len": jnp.int32(N_DOCS),
     }
     mem_tier = {
@@ -197,7 +196,6 @@ def kernel_bench(jax, jnp):
         "seg_start": jnp.zeros(1, jnp.int32),
         "seg_len": jnp.zeros(1, jnp.int32),
         "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
-        "mention_ord": jnp.full(1024, -1, jnp.int32),
         "mention_len": jnp.int32(0),
     }
 
@@ -681,7 +679,7 @@ def e2e_read_write(idx, options, rng):
         rw_dev["e2e_rw_device_qps"] = device_qps_fori(
             jax,
             params,
-            tier_view_for_search(snap.file_view),
+            tier_view_for_search(snap.file_view, mentions=False),
             tier_view_for_search(snap.mem_view),
             pin,
             BATCH,

@@ -141,7 +141,6 @@ def run(jax, jnp) -> dict:
         # Mention table: every doc alive in the single segment = ids 1..N
         # sorted, ordinal 0 — representable analytically too.
         "mention_ids": jnp.arange(1, N_DOCS + 1, dtype=jnp.uint32),
-        "mention_ord": jnp.zeros(N_DOCS, jnp.int32),
         "mention_len": jnp.int32(N_DOCS),
     }
     mem_tier = {
@@ -151,7 +150,6 @@ def run(jax, jnp) -> dict:
         "seg_start": jnp.zeros(1, jnp.int32),
         "seg_len": jnp.zeros(1, jnp.int32),
         "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
-        "mention_ord": jnp.full(1024, -1, jnp.int32),
         "mention_len": jnp.int32(0),
     }
     build_s = time.time() - t0

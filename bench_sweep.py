@@ -63,7 +63,6 @@ def main():
         "seg_start": jnp.zeros(1, jnp.int32),
         "seg_len": jnp.zeros(1, jnp.int32).at[0].set(n_postings),
         "mention_ids": pad(jnp.arange(1, N_DOCS + 1, dtype=jnp.uint32), 1 << 24, jnp.uint32(0xFFFFFFFF)),
-        "mention_ord": jnp.zeros(1 << 24, jnp.int32),
         "mention_len": jnp.int32(N_DOCS),
     }
     mem_tier = {
@@ -73,7 +72,6 @@ def main():
         "seg_start": jnp.zeros(1, jnp.int32),
         "seg_len": jnp.zeros(1, jnp.int32),
         "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
-        "mention_ord": jnp.full(1024, -1, jnp.int32),
         "mention_len": jnp.int32(0),
     }
 
@@ -97,7 +95,7 @@ def main():
         if stage == "rank":
             return cd.astype(jnp.int32).sum() + csc.sum()
 
-        newest = _batch_newest(file_tier, mem_tier, cd.reshape(-1), cv.reshape(-1)).reshape(cd.shape)
+        newest = _batch_newest(mem_tier, cd.reshape(-1), cv.reshape(-1)).reshape(cd.shape)
         if stage == "mention":
             return newest.sum()
 

@@ -165,7 +165,7 @@ def run_phases(tag, params, file_tier, mem_tier, pin):
                 return jnp.sum(jax.vmap(score_one)(f_lo, f_cnt, m_lo, m_cnt, min_scores))
             # newest: score + supersession lookups
             accs, d, cand = jax.vmap(score_one)(f_lo, f_cnt, m_lo, m_cnt, min_scores)
-            newest = sk._batch_newest(ft, mt, d.reshape(-1), cand.reshape(-1))
+            newest = sk._batch_newest(mt, d.reshape(-1), cand.reshape(-1))
             return jnp.sum(accs) + jnp.sum(newest.astype(jnp.uint32))
 
         @functools.partial(jax.jit, static_argnums=(0,))

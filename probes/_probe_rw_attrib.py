@@ -193,7 +193,7 @@ def run_phases(tag, params, file_tier, mem_tier, pin, phases):
             accs, d, cand = jax.vmap(score_one)(f_lo, f_cnt, m_lo, m_cnt, min_scores)
             if phase in ("gather", "score"):
                 return jnp.sum(accs)
-            newest = sk._batch_newest(ft, mt, d.reshape(-1), cand.reshape(-1))
+            newest = sk._batch_newest(mt, d.reshape(-1), cand.reshape(-1))
             return jnp.sum(accs) + jnp.sum(newest.astype(jnp.uint32))
 
         @functools.partial(jax.jit, static_argnums=(0,))

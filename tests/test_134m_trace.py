@@ -29,7 +29,6 @@ def test_134m_interleaved_traces():
         "seg_start": i32(1),
         "seg_len": i32(1),
         "mention_ids": u32(n_docs),
-        "mention_ord": i32(n_docs),
         "mention_len": jax.ShapeDtypeStruct((), jnp.int32),
     }
     mem_tier = {
@@ -39,7 +38,6 @@ def test_134m_interleaved_traces():
         "seg_start": i32(1),
         "seg_len": i32(1),
         "mention_ids": u32(1024),
-        "mention_ord": i32(1024),
         "mention_len": jax.ShapeDtypeStruct((), jnp.int32),
     }
     out = jax.eval_shape(

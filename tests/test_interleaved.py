@@ -216,7 +216,7 @@ def test_interleaved_matches_oracle_multisegment(monkeypatch):
         mem_view=pack_tier([m1], MEMORY_SLOTS),
     )
     assert "inter" in snap.file_view  # the layout under test engages
-    assert "ord" in snap.file_view  # multi-slot: per-posting ordinals ride along
+    assert "ord" not in snap.file_view  # pack-time filtering: no ordinal column
 
     oracle_segs = [
         OracleSegment(

@@ -193,15 +193,19 @@ def test_warm_async_precompiles_serving_bucket(snap):
         s.warm_async(snap)
         deadline = time.time() + 60
         key = s._shape_key(snap, _params_for(128), 1)
-        while key not in s._warm and time.time() < deadline:
+        key256 = s._shape_key(snap, _params_for(256), 1)
+        while (key not in s._warm or key256 not in s._warm) and time.time() < deadline:
             time.sleep(0.05)
         assert key in s._warm, "background warm never landed"
-        assert s.precompiled == [1], s.precompiled  # one b=1 background launch
+        # The 128 bucket (real fingerprints) plus the 256 SUPERSET bucket
+        # (covers any cold fingerprint-sized bucket via _pick_program).
+        assert key256 in s._warm, "superset warm never landed"
+        assert s.precompiled == [1, 1], s.precompiled  # two b=1 background launches
         assert s.launched == [], s.launched  # nothing through the dispatcher
         # Re-kick on the same shapes: deduped, no second launch.
         s.warm_async(snap)
         time.sleep(0.2)
-        assert s.precompiled == [1], s.precompiled
+        assert s.precompiled == [1, 1], s.precompiled
     finally:
         s.close()
 
