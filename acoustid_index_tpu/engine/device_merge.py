@@ -29,12 +29,43 @@ log = logging.getLogger("acoustid_index_tpu.device_merge")
 
 DEVICE_MERGE_MIN_POSTINGS = 1_000_000
 
+_tunneled: Optional[bool] = None
+
+
+def _device_merge_threshold() -> int:
+    """Posting count above which the device sort beats the host sort.
+
+    The crossover is TRANSFER-bound, not sort-bound: the merge must move
+    2x4B/posting each way, so on an attached chip (PCIe/ICI, GB/s) the
+    device wins from ~1M postings, while on the axon dev tunnel (~11MB/s
+    device->host, measured) the host u64 sort (~6M postings/s) wins at any
+    realizable size.  Override with AITPU_DEVICE_MERGE_MIN_POSTINGS.
+
+    Only the platform probe is cached; DEVICE_MERGE_MIN_POSTINGS is read
+    live (tests tune it per-case)."""
+    import os
+
+    env = os.environ.get("AITPU_DEVICE_MERGE_MIN_POSTINGS")
+    if env:
+        return int(env)
+    global _tunneled
+    if _tunneled is None:
+        try:
+            import jax
+
+            _tunneled = "axon" in (jax.config.jax_platforms or "")
+        except Exception:
+            _tunneled = False
+    return (1 << 62) if _tunneled else DEVICE_MERGE_MIN_POSTINGS
+
 
 def merge_segments_auto(sources: Sequence[Segment], collection) -> Segment:
     """Device merge when the run is big, host merge otherwise (or on any
-    device failure — compaction must never take the index down)."""
+    device failure — compaction must never take the index down).  Runs of
+    >64 sources exceed the merge kernel's slot bucket (a bulk stream's
+    deferred tier); the host merger handles any count."""
     total = sum(s.num_items for s in sources)
-    if len(sources) >= 2 and total >= DEVICE_MERGE_MIN_POSTINGS:
+    if 2 <= len(sources) <= 64 and total >= _device_merge_threshold():
         try:
             return merge_segments_device(sources, collection)
         except Exception:

@@ -180,7 +180,9 @@ class Index:
             # tail into one segment.  Supersession inside the fold needs the
             # whole collection as the oracle.
             whole = Snapshot(file=tuple(file_segments), memory=tuple(memory_segments))
-            memory_segments = [merge_segments(memory_segments, whole)]
+            from .device_merge import merge_segments_auto
+
+            memory_segments = [merge_segments_auto(memory_segments, whole)]
 
         commit_id = max(file_commit_id, oplog.last_commit_id)
         version = max(file_version, oplog.last_version)
@@ -244,6 +246,15 @@ class Index:
             if self.merge_files():
                 continue
             break
+        # Cascade idle: if a bulk stream left the memory-tier view deferred,
+        # resolve it NOW (fold + pack + background compile) so the stream's
+        # first search doesn't pay all three inline and 503 on a cold shape.
+        # A still-running stream just re-defers on its next batch; the
+        # resolution cost is bounded by one pack per idle transition.
+        if not self._stop.is_set():
+            snap = self.acquire_reader()
+            if snap.mem_view is PENDING_VIEW:
+                self.ensure_views(snap)
 
     # ---- readers ----
 
@@ -253,11 +264,30 @@ class Index:
 
     def ensure_views(self, snapshot: Snapshot) -> Snapshot:
         """Resolve a deferred memory-tier view (bulk-ingest path) exactly
-        once per snapshot.  Cheap no-op when the view is already packed."""
+        once per snapshot.  Cheap no-op when the view is already packed.
+
+        A bulk stream can grow the segment list past the view's slot cap
+        (update() skips the fold while the view is deferred); the first
+        reader folds it here — ONE merge for the whole stream — and packs
+        the folded tier.  The merged segment is also installed into the
+        live tier when no writer raced, so subsequent snapshots carry it."""
         if snapshot.mem_view is PENDING_VIEW:
             with self._view_lock:
                 if snapshot.mem_view is PENDING_VIEW:
-                    view = self.searcher.pack_mem_tier(snapshot.memory, owner=self.path)
+                    memory = snapshot.memory
+                    if len(memory) > MEMORY_SLOTS:
+                        from .device_merge import merge_segments_auto
+
+                        merged = merge_segments_auto(memory, snapshot)
+                        with self._write_lock:
+                            cur = self.acquire_reader()
+                            if len(cur.memory) >= len(memory) and all(
+                                a is b for a, b in zip(cur.memory[: len(memory)], memory)
+                            ):
+                                new_memory = (merged,) + cur.memory[len(memory):]
+                                self._install_memory(cur, new_memory)
+                        memory = (merged,)
+                    view = self.searcher.pack_mem_tier(memory, owner=self.path)
                     object.__setattr__(snapshot, "mem_view", view)
                     self.searcher.warm_async(snapshot)
         return snapshot
@@ -304,10 +334,14 @@ class Index:
             seg = build_segment(changes, SegmentInfo())  # info stamped post-commit
 
             cur = self.acquire_reader()
-            if len(cur.memory) >= MEMORY_SLOTS:
+            if len(cur.memory) >= MEMORY_SLOTS and cur.mem_view is not PENDING_VIEW:
                 # Backpressure: the device view has a static slot count; fold
-                # the memory tier before accepting more (the reference lets the
-                # list grow and trims lazily; we bound it structurally).
+                # the memory tier before accepting more.  ONLY when the view
+                # is live — a deferred (bulk-stream) tier has no device view,
+                # so the slot cap does not bind: the list grows like the
+                # reference's (it trims lazily too) and the fold happens once,
+                # at the first reader (ensure_views) or checkpoint, instead
+                # of a re-sort of the whole tier every MEMORY_SLOTS batches.
                 self._merge_memory_locked(all_segments=True)
                 cur = self.acquire_reader()
 
@@ -326,7 +360,13 @@ class Index:
             # write-then-search flow never pays it on the read path.
             from .model import BulkInsert
 
-            defer = any(isinstance(c, BulkInsert) for c in changes)
+            # Defer also when the tier outgrew the slot cap under a bulk
+            # stream: a non-bulk write landing mid-stream must not try to
+            # pack >MEMORY_SLOTS segments eagerly.
+            defer = (
+                any(isinstance(c, BulkInsert) for c in changes)
+                or len(new_memory) > MEMORY_SLOTS
+            )
             snap = Snapshot(
                 file=cur.file,
                 memory=new_memory,
@@ -393,8 +433,34 @@ class Index:
     # ---- maintenance ops ----
 
     def merge_memory(self) -> bool:
+        """Maintenance-path memory merge: the MERGE runs outside the write
+        lock (exactly like checkpoint's flush merge) so a multi-second fold
+        never stalls concurrent updates — writers only APPEND to the memory
+        suffix, so the merged prefix range stays stable; if a racing fold
+        (update's slot-cap backpressure) swapped it out meanwhile, this
+        result is simply dropped.  A doc superseded by a segment written
+        DURING the merge stays in the merged output — query-time
+        supersession (pack-time filtering + the mention membership test)
+        still hides it, same as a reference merge racing writes."""
+        cur = self.acquire_reader()
+        mem = cur.memory
+        cand = self.memory_merge_policy.should_merge([s.get_size() for s in mem])
+        if cand is None:
+            return False
+        lo, hi = cand.start, cand.end
+        from .device_merge import merge_segments_auto
+
+        merged = merge_segments_auto(mem[lo:hi], cur)
         with self._write_lock:
-            return self._merge_memory_locked()
+            cur2 = self.acquire_reader()
+            if len(cur2.memory) < hi or any(
+                a is not b for a, b in zip(cur2.memory[:hi], mem[:hi])
+            ):
+                return False  # a racing fold restructured the tier: drop
+            new_memory = cur2.memory[:lo] + (merged,) + cur2.memory[hi:]
+            self._install_memory(cur2, new_memory)
+        log.info("merged %d memory segments -> %s (%d items)", hi - lo, merged.info, merged.num_items)
+        return True
 
     def _merge_memory_locked(self, all_segments: bool = False) -> bool:
         cur = self.acquire_reader()
@@ -409,8 +475,19 @@ class Index:
             if cand is None:
                 return False
             lo, hi = cand.start, cand.end
-        merged = merge_segments(mem[lo:hi], cur)
-        new_memory = mem[:lo] + (merged,) + mem[hi:]
+        # Big folds ride the device sort (a bulk-ingest stream folds the
+        # whole tier at the slot cap — a 10M-doc tier is a ~50s host lexsort
+        # vs seconds on device); small merges stay host-side.
+        from .device_merge import merge_segments_auto
+
+        merged = merge_segments_auto(mem[lo:hi], cur)
+        self._install_memory(cur, mem[:lo] + (merged,) + mem[hi:])
+        log.info("merged %d memory segments -> %s (%d items)", hi - lo, merged.info, merged.num_items)
+        return True
+
+    def _install_memory(self, cur: Snapshot, new_memory) -> None:
+        """Swap in a restructured memory tier (caller holds _write_lock or
+        is single-threaded bootstrap)."""
         snap = Snapshot(
             file=cur.file,
             memory=new_memory,
@@ -420,12 +497,15 @@ class Index:
             file_version=self.file_version,
             external_versions=self.external_versions,
             file_view=cur.file_view,
-            mem_view=self.searcher.pack_mem_tier(new_memory, owner=self.path),
+            # Mid-bulk-stream (deferred view) folds stay deferred: repacking
+            # the whole tier per fold would make a pure ingest stream
+            # quadratic in pack work; the first reader pays it once.
+            mem_view=PENDING_VIEW
+            if cur.mem_view is PENDING_VIEW
+            else self.searcher.pack_mem_tier(new_memory, owner=self.path),
         )
         self._swap(snap)
         metrics.inc_memory_merges()
-        log.info("merged %d memory segments -> %s (%d items)", hi - lo, merged.info, merged.num_items)
-        return True
 
     def checkpoint(self, force: bool = False) -> bool:
         """Flush all memory segments to one file segment; the manifest write

@@ -66,9 +66,12 @@ class Segment:
 
 
 def _sort_items(hashes: np.ndarray, docids: np.ndarray):
-    # Lexicographic (hash, docid) — the u64 key order of segment.zig's Item.
-    order = np.lexsort((docids, hashes))
-    return np.ascontiguousarray(hashes[order]), np.ascontiguousarray(docids[order])
+    # Lexicographic (hash, docid) — the u64 key order of segment.zig's Item,
+    # sorted AS that u64 key: one single-key sort is ~4x faster than
+    # np.lexsort's two stable passes + index gathers, bit-identical order.
+    u = (hashes.astype(np.uint64) << np.uint64(32)) | docids.astype(np.uint64)
+    u.sort()
+    return (u >> np.uint64(32)).astype(np.uint32), u.astype(np.uint32)
 
 
 def build_segment(changes: Sequence[Change], info: SegmentInfo) -> Segment:

@@ -327,6 +327,91 @@ def device_qps_fori(jax, params, file_tier, mem_tier, pin_np, batch, klo=4, khi=
     return batch / per_batch
 
 
+def sharded_bench(jax, jnp):
+    """The MESH-SHARDED serving program measured on the real chip (mesh of
+    1 device): the SAME shard_map + all_gather + pmax program the multi-chip
+    path runs — collectives degenerate on one device but their lowering and
+    the shard-local pipeline are the real ones — fori-loop-slope timed
+    (tunnel-immune, like the unsharded headline).  `sharded_qps_mesh1` vs
+    the unsharded `qps` is the single-chip cost of the sharded program
+    structure; the CPU-mesh 1->8 relative table (all_gather growth) lives
+    in probes/_probe_sharded_overhead.py, and together they back the v5e-8
+    projection in BASELINE.md.  Hash-range sharding itself is this repo's
+    scale-out axis — the reference is single-node (README.md:100-105)."""
+    import functools
+
+    from acoustid_index_tpu.engine.memseg import build_segment
+    from acoustid_index_tpu.engine.model import BulkInsert, SegmentInfo
+    from acoustid_index_tpu.engine.searcher import _params_for
+    from acoustid_index_tpu.engine.segments import Snapshot
+    from acoustid_index_tpu.parallel.sharded import (
+        build_sharded_view,
+        make_mesh,
+        sharded_search_batch,
+    )
+
+    t0 = time.time()
+    ids = np.arange(1, N_DOCS + 1, dtype=np.uint32)
+    hs = doc_hashes(ids, HASHES_PER_DOC)
+    offsets = np.arange(0, (N_DOCS + 1) * HASHES_PER_DOC, HASHES_PER_DOC, dtype=np.uint32)
+    seg = build_segment(
+        [BulkInsert(ids=ids, hashes=hs.reshape(-1), offsets=offsets)],
+        SegmentInfo(commit_id=1),
+    )
+    del hs
+    snap = Snapshot(file=(seg,), memory=())
+    mesh = make_mesh(1)
+    view = build_sharded_view(snap, mesh)
+    build_s = time.time() - t0
+    log(f"sharded view built ({build_s:.0f}s)")
+
+    params = _params_for(128)
+    rngq = np.random.default_rng(23)
+    targets, qs, lens = make_queries(rngq, BATCH, params.query_len, N_DOCS)
+    limits = np.full(BATCH, 10, np.int32)
+    min_scores = np.full(BATCH, 6, np.int32)
+    pcts = np.full(BATCH, 10, np.int32)
+
+    t0 = time.time()
+    out = jax.device_get(
+        sharded_search_batch(
+            params, mesh, view.file_tier, view.mem_tier, qs, lens, limits, min_scores, pcts
+        )
+    )
+    compile_s = time.time() - t0
+    hit_rate = float(np.mean(out["ids"][:, 0] == targets))
+    log(f"sharded program compiled ({compile_s:.0f}s), hit rate {hit_rate}")
+    assert hit_rate > 0.95, f"sharded self-retrieval hit rate {hit_rate}"
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_k(k, ft, mt, qs, lens, limits, min_scores, pcts):
+        def body(i, acc):
+            qs2 = qs + (acc & jnp.uint32(1))
+            o = sharded_search_batch(params, mesh, ft, mt, qs2, lens, limits, min_scores, pcts)
+            return acc + jnp.sum(o["ids"].astype(jnp.uint32))
+
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    KLO, KHI, REPS = 4, 32, 3
+    times = {KLO: [], KHI: []}
+    for k in (KLO, KHI):
+        int(jax.device_get(run_k(k, view.file_tier, view.mem_tier, qs, lens, limits, min_scores, pcts)))
+        for r in range(REPS):
+            qs_t = qs + np.uint32(1 + r)
+            t0 = time.time()
+            int(jax.device_get(run_k(k, view.file_tier, view.mem_tier, qs_t, lens, limits, min_scores, pcts)))
+            times[k].append(time.time() - t0)
+    per_batch = max(
+        (sorted(times[KHI])[REPS // 2] - sorted(times[KLO])[REPS // 2]) / (KHI - KLO), 1e-6
+    )
+    return {
+        "sharded_qps_mesh1": BATCH / per_batch,
+        "sharded_hit_rate": hit_rate,
+        "sharded_build_s": build_s,
+        "sharded_compile_s": compile_s,
+    }
+
+
 def e2e_bench(jax):
     """The real serving path: Index.update bulk ingest -> device-merge
     checkpoint -> concurrent searches through the BatchingSearcher.  Built
@@ -346,14 +431,14 @@ def e2e_bench(jax):
         ref = mi._get_ref("main")
         idx = ref.index
         try:
-            step = 100_000
+            t_ingest = time.time()
+            step = 250_000
             for lo in range(1, E2E_DOCS + 1, step):
                 ids = np.arange(lo, min(lo + step, E2E_DOCS + 1), dtype=np.uint32)
                 hs = doc_hashes(ids, HASHES_PER_DOC)
-                idx.update(
-                    [Insert(id=int(i), hashes=h.tolist()) for i, h in zip(ids, hs)]
-                )
-            log("e2e ingest done; checkpointing")
+                idx.bulk_insert(ids, hs)
+            ingest_s = time.time() - t_ingest
+            log(f"e2e ingest done ({E2E_DOCS / ingest_s:.0f} docs/s); checkpointing")
             idx.checkpoint(force=True)  # device merge path at this size
             build_s = time.time() - t_build
             log(f"e2e built ({build_s:.0f}s)")
@@ -410,6 +495,11 @@ def e2e_bench(jax):
                 "e2e_qps": total / wall,
                 "e2e_docs": E2E_DOCS,
                 "e2e_build_s": build_s,
+                # Columnar bulk ingest (oplog commit per 250k batch, segment
+                # build vectorized, device packing deferred) — the updates/s
+                # headline; the reference's only ingest cost is its memory
+                # segment build (MemorySegment.zig:81-148).
+                "e2e_ingest_docs_per_s": E2E_DOCS / ingest_s,
                 "e2e_queries": total,
                 "e2e_miss_rate": sum(misses) / max(total, 1),
                 "e2e_threads": E2E_THREADS,
@@ -427,15 +517,25 @@ def e2e_bench(jax):
             native = e2e_native(mi, rng)
             log(
                 f"native front {native.get('e2e_native_qps', 0):.0f} qps; "
+                "measuring native host-only ceiling"
+            )
+            native_ho = e2e_native(mi, rng, stub_device=True, tag="e2e_native_hostonly")
+            log(
+                f"native host-only {native_ho.get('e2e_native_hostonly_qps', 0):.0f} qps; "
                 "measuring host-only ceiling"
             )
             host_only = e2e_host_only(idx, options, rng)
             log(
                 f"host-only ceiling {host_only.get('e2e_hostonly_qps', 0):.0f} qps; "
+                "measuring HTTP bulk ingest"
+            )
+            http_ing = e2e_http_ingest()
+            log(
+                f"HTTP ingest {http_ing.get('e2e_http_ingest_docs_per_s', 0):.0f} docs/s; "
                 "measuring mixed read/write phase"
             )
             rw = e2e_read_write(idx, options, rng)
-            return {**closed, **open_loop, **native, **host_only, **rw}
+            return {**closed, **open_loop, **native, **native_ho, **host_only, **http_ing, **rw}
         finally:
             mi._release_ref(ref)
             mi.close()
@@ -446,12 +546,19 @@ NATIVE_PROCS = int(os.environ.get("AITPU_BENCH_NATIVE_PROCS", 6))
 NATIVE_CONNS = int(os.environ.get("AITPU_BENCH_NATIVE_CONNS", 384))
 
 
-def e2e_native(mi, rng):
+def e2e_native(mi, rng, stub_device=False, tag="e2e_native", conns=None):
     """Open-loop HTTP load through the native C++ front end: bytes on real
     sockets -> aitpu_front batches -> device -> encoded responses.  Load
     comes from separate bench_client.py PROCESSES (selectors over hundreds
     of keep-alive connections each) so generation never shares the GIL with
-    the pumps; total in-flight = NATIVE_PROCS * NATIVE_CONNS."""
+    the pumps; total in-flight = NATIVE_PROCS * conns.
+
+    stub_device=True replaces the searcher's _launch with canned packed
+    outputs (exactly e2e_host_only's trick): the measured number is the C++
+    front's HOST-PATH CEILING — epoll accept/parse, batch claim, Python pump
+    row packing, response encode — with the device and tunnel removed.
+    Canned outputs carry doc-1 results, so clients' per-response assert is
+    skipped in this mode (miss_rate is meaningless against random targets)."""
     import subprocess
     import tempfile
 
@@ -461,8 +568,42 @@ def e2e_native(mi, rng):
     from acoustid_index_tpu.utils.native import front_lib
 
     if front_lib() is None:
-        return {"e2e_native_error": "no C++ toolchain"}
-    front = NativeFront(mi, 0, pumps=NATIVE_PUMPS, max_conns=2 * NATIVE_PROCS * NATIVE_CONNS)
+        return {f"{tag}_error": "no C++ toolchain"}
+    conns = NATIVE_CONNS if conns is None else conns
+    restore_launch = None
+    if stub_device:
+        import jax as _jax
+
+        from acoustid_index_tpu.engine.searcher import BATCH_SIZES, _params_for
+
+        ref = mi._get_ref("main")
+        try:
+            idx = ref.index
+            searcher = idx.searcher
+            snapshot = idx.ensure_views(idx.acquire_reader())
+            params = _params_for(128)
+            hs0 = doc_hashes(np.array([1], np.uint32), HASHES_PER_DOC)[0]
+            q0 = np.unique(np.concatenate([hs0[:20], rng.integers(0, 2**32, NOISE_HASHES, dtype=np.uint32)]))
+            row0 = np.zeros(128 + 4, np.uint32)
+            row0[: q0.shape[0]] = q0
+            row0[128:] = (q0.shape[0], 40, 6, 10)
+            canned = {}
+            real_launch = searcher._launch
+            for b in BATCH_SIZES:
+                canned[b] = np.asarray(
+                    _jax.device_get(
+                        real_launch(snapshot, params, np.tile(row0, (b, 1)))
+                    )
+                )
+
+            def fake_launch(snap, p, packed_in):
+                return canned[packed_in.shape[0]]
+
+            searcher._launch = fake_launch
+            restore_launch = (searcher, real_launch)
+        finally:
+            mi._release_ref(ref)
+    front = NativeFront(mi, 0, pumps=NATIVE_PUMPS, max_conns=2 * NATIVE_PROCS * conns)
     front.start()
     blob_path = None
     try:
@@ -496,7 +637,7 @@ def e2e_native(mi, rng):
                     os.path.join(repo, "bench_client.py"),
                     "--port", str(front.port),
                     "--seconds", str(E2E_SECONDS),
-                    "--conns", str(NATIVE_CONNS),
+                    "--conns", str(conns),
                     "--blobs", blob_path,
                     "--seed", str(100 + k),
                 ],
@@ -508,25 +649,108 @@ def e2e_native(mi, rng):
         for p in procs:
             out, _ = p.communicate(timeout=E2E_SECONDS + 120)
             if p.returncode != 0:
-                return {"e2e_native_error": f"client rc {p.returncode}"}
+                return {f"{tag}_error": f"client rc {p.returncode}"}
             outs.append(json.loads(out))
         total = sum(o["count"] for o in outs)
         qps = sum(o["count"] / o["window_s"] for o in outs if o["window_s"] > 0)
         p50s = [o["p50_ms"] for o in outs if o["p50_ms"] is not None]
         p99s = [o["p99_ms"] for o in outs if o["p99_ms"] is not None]
-        return {
-            "e2e_native_qps": qps,
-            "e2e_native_queries": total,
-            "e2e_native_miss_rate": sum(o["miss"] for o in outs) / max(total, 1),
-            "e2e_native_inflight": NATIVE_PROCS * NATIVE_CONNS,
-            "e2e_native_pumps": NATIVE_PUMPS,
-            "e2e_native_p50_ms": float(np.mean(p50s)) if p50s else None,
-            "e2e_native_p99_ms": float(np.max(p99s)) if p99s else None,
+        out = {
+            f"{tag}_qps": qps,
+            f"{tag}_queries": total,
+            f"{tag}_inflight": NATIVE_PROCS * conns,
+            f"{tag}_pumps": NATIVE_PUMPS,
+            f"{tag}_p50_ms": float(np.mean(p50s)) if p50s else None,
+            f"{tag}_p99_ms": float(np.max(p99s)) if p99s else None,
         }
+        if not stub_device:  # canned outputs make misses meaningless
+            out[f"{tag}_miss_rate"] = sum(o["miss"] for o in outs) / max(total, 1)
+        return out
     finally:
         front.stop()
+        if restore_launch is not None:
+            restore_launch[0]._launch = restore_launch[1]
         if blob_path:
             os.unlink(blob_path)
+
+
+def e2e_http_ingest():
+    """Bulk ingest over REAL HTTP: fresh index, msgpack columnar _bulk
+    bodies on a socket (250k docs per POST), oplog-durable per batch.  The
+    reported docs/s is the full protocol cost — bytes -> parse -> commit
+    point -> vectorized segment build (device packing deferred, so this is
+    the pure ingest-plane number the reference's updates path competes
+    with: server.zig handle_update -> MemorySegment build)."""
+    import socket
+    import tempfile
+
+    import msgpack
+
+    from acoustid_index_tpu.multi.multi_index import MultiIndex
+    from acoustid_index_tpu.server.app import App
+    from acoustid_index_tpu.server.http import HttpServer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        mi = MultiIndex.open(
+            tmp, checkpoint_age=None, checkpoint_threshold=E2E_DOCS * HASHES_PER_DOC + 1, sync=False
+        )
+        app = App(mi)
+        server = HttpServer("127.0.0.1", 0, app.router, app.error_response, app.not_found)
+        thread = server.serve_background()
+        try:
+            port = server.server_address[1]
+            conn = socket.create_connection(("127.0.0.1", port))
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+            def roundtrip(method, path, body=b""):
+                req = (
+                    b"%s %s HTTP/1.1\r\nHost: b\r\nContent-Type: application/vnd.msgpack\r\n"
+                    b"Content-Length: %d\r\n\r\n" % (method, path, len(body))
+                ) + body
+                conn.sendall(req)
+                buf = b""
+                while b"\r\n\r\n" not in buf:
+                    buf += conn.recv(65536)
+                head, rest = buf.split(b"\r\n\r\n", 1)
+                status = int(head.split(b" ", 2)[1])
+                clen = 0
+                for line in head.split(b"\r\n")[1:]:
+                    k, _, v = line.partition(b":")
+                    if k.strip().lower() == b"content-length":
+                        clen = int(v)
+                while len(rest) < clen:  # drain the body: keep-alive reuse
+                    rest += conn.recv(65536)
+                return status
+
+            status = roundtrip(b"PUT", b"/ing")
+            if status != 200:
+                return {"e2e_http_ingest_error": f"create status {status}"}
+
+            step = 100_000  # 100k docs x 24 hashes x 4B = 9.6MB < the 16MiB body cap
+            bodies = []  # pre-encoded: the timed window is the server's cost
+            for lo in range(1, E2E_DOCS + 1, step):
+                ids = np.arange(lo, min(lo + step, E2E_DOCS + 1), dtype=np.uint32)
+                hs = doc_hashes(ids, HASHES_PER_DOC)
+                bodies.append(
+                    msgpack.packb(
+                        {"i": ids.tobytes(), "h": hs.reshape(-1).tobytes(), "k": HASHES_PER_DOC}
+                    )
+                )
+            t0 = time.time()
+            for body in bodies:
+                status = roundtrip(b"POST", b"/ing/_bulk", body)
+                if status != 200:
+                    return {"e2e_http_ingest_error": f"status {status}"}
+            ingest_s = time.time() - t0
+            conn.close()
+            return {
+                "e2e_http_ingest_docs_per_s": E2E_DOCS / ingest_s,
+                "e2e_http_ingest_s": ingest_s,
+            }
+        finally:
+            server.shutdown()
+            thread.join(timeout=10)
+            mi.close()
 
 
 def e2e_host_only(idx, options, rng):
@@ -788,6 +1012,28 @@ def main():
 
     k = kernel_bench(jax, jnp)
     log(f"kernel bench: {k['qps']:.0f} qps")
+
+    sh = {}
+    if os.environ.get("AITPU_BENCH_SHARDED", "1") == "1":
+        import gc
+
+        gc.collect()
+        try:
+            sh = sharded_bench(jax, jnp)
+            # The single-chip cost of the sharded program STRUCTURE
+            # (shard_map + degenerate collectives + replicated scoring) —
+            # sharded_qps_mesh1 / qps; the multi-chip projection multiplies
+            # the shard-local speedup against this constant.
+            sh["sharded_overhead_x"] = k["qps"] / max(sh["sharded_qps_mesh1"], 1e-9)
+            log(
+                f"sharded mesh-1: {sh['sharded_qps_mesh1']:.0f} qps "
+                f"({sh['sharded_overhead_x']:.2f}x overhead vs unsharded)"
+            )
+        except Exception as exc:  # noqa: BLE001 — report, don't lose the line
+            sh = {"sharded_qps_mesh1_error": f"{type(exc).__name__}: {exc}"[:200]}
+            log(f"sharded bench failed: {exc}")
+        gc.collect()
+
     e = e2e_bench(jax) if E2E_DOCS else {}
     log(f"e2e bench: {e.get('e2e_qps', 0):.0f} qps")
 
@@ -852,6 +1098,7 @@ def main():
                 "n_postings": N_DOCS * HASHES_PER_DOC,
                 "parity_gate": "ok",
                 "parity_gate_s": round(parity_s, 1),
+                **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in sh.items()},
                 **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
                 **m134,
                 "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_hostonly_qps is the same load with the device removed (canned launch results) = the pure host-path ceiling, so pipeline vs hostonly vs the device slope attributes the gap between host work, tunnel transfers, and device time; e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state; its open-loop qps is tunnel-bound — per-update tier uploads serialize against search fetches on the dev tunnel — so e2e_rw_device_qps reports the tunnel-immune device slope of the final S>1 snapshot, the attached-chip number)",
