@@ -28,7 +28,13 @@ from ..engine.segments import (
     slot_bucket,
     tier_view_for_search,
 )
-from .sharded import AXIS, _pack_tier_sharded, make_mesh, sharded_search_batch_packed
+from .sharded import (
+    AXIS,
+    _pack_tier_sharded,
+    make_mesh,
+    put_sharded,
+    sharded_search_batch_packed,
+)
 
 
 class ShardedBatchingSearcher(BatchingSearcher):
@@ -43,9 +49,6 @@ class ShardedBatchingSearcher(BatchingSearcher):
     # ---- view packing (called by the engine on tier changes) ----
 
     def _pack(self, segments: Sequence, slots: int, tier: str, owner) -> Dict:
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         # Sticky high-water shapes, like the single-chip searcher (see
         # Searcher._pack_sticky, keyed per owner index so one big index
         # doesn't inflate every other index's device arrays): write-heavy
@@ -58,23 +61,25 @@ class ShardedBatchingSearcher(BatchingSearcher):
             max(slot_bucket(len(segments), slots), min(hwm[3], slots)),
             min_caps=(hwm[0], hwm[1], hwm[2]),
         )
+        # Device search fields are FLAT (n_shards * X,) — per-shard caps
+        # divide by the shard count (see sharded._pack_tier_sharded).
+        n = self.n_shards
         cap0 = (
-            view_np["inter"].shape[1] // 2
+            view_np["inter"].shape[0] // (2 * n)
             if "inter" in view_np
-            else view_np["hashes"].shape[1]
+            else view_np["hashes"].shape[0] // n
         )
         grown = (
             int(cap0),
             int(view_np["docs_ids"].shape[1]),
-            int(view_np["mention_ids"].shape[1]),
-            int(view_np["seg_start"].shape[1]),
+            int(view_np["mention_ids"].shape[0] // n),
+            int(view_np["seg_start"].shape[0] // n),
         )
         with self._lock:
             cur = self._hwm.setdefault((owner, tier), [1024, 1024, 1024, 0])
             for i in range(4):
                 cur[i] = max(cur[i], grown[i])
-        sharding = NamedSharding(self.mesh, P(AXIS))
-        view = {k: jax.device_put(v, sharding) for k, v in view_np.items()}
+        view = put_sharded(view_np, self.mesh)
         from ..engine.segments import _VIEW_TOKENS
 
         view["view_token"] = next(_VIEW_TOKENS)

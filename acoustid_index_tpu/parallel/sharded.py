@@ -32,12 +32,21 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.search_kernel import (
+    F_DIRECT,
+    P_MEM_DIRECT,
+    P_SMALL,
+    SENTINEL,
+    TIER_MEM,
     SearchParams,
     _batch_newest,
     _batch_ranges,
+    _direct_candidates,
     _final_select,
+    _final_select_matrix,
     _plan_and_gather,
+    _score_matrix,
     _score_rank,
+    small_budget,
 )
 from ..ops.pallas_lookup import BLOCK
 from ..engine.memseg import Segment
@@ -188,7 +197,49 @@ def _pack_tier_sharded(
             inter[k] = interleave_np(out["hashes"][k], out["docids"][k])
         out["inter"] = inter
         del out["hashes"], out["docids"]
+
+    # Device SEARCH fields ship FLAT (n_shards * X,) so shard_map's P(AXIS)
+    # split hands every shard a (X,) local in exactly the kernel's shape —
+    # a leading (1, X) dim instead costs a materialized reshape copy of the
+    # whole operand per batch (measured 2x at 10M docs: the squeeze of the
+    # 1.9GB interleaved array alone is ~9ms/batch on a v5e,
+    # probes/_probe_sharded_bisect.py).  mention_len stays (n_shards,)
+    # (per-shard scalar).  docs_* bookkeeping stays host-side 2D numpy, as
+    # in pack_tier — no kernel reads it.
+    for k in SHARDED_DEVICE_FIELDS:
+        if k in out and k != "mention_len":
+            out[k] = np.ascontiguousarray(out[k]).reshape(-1)
     return out
+
+
+# Fields the sharded search program reads on device (flat 1D, P(AXIS)
+# over the leading per-shard blocks); everything else in a packed tier dict
+# is host-side bookkeeping and must NOT be passed into the jitted program.
+SHARDED_DEVICE_FIELDS = (
+    "hashes",
+    "docids",
+    "inter",
+    "block_index",
+    "seg_start",
+    "seg_len",
+    "mention_ids",
+    "mention_len",
+)
+
+
+def _device_fields(tier: Dict) -> Dict:
+    return {k: tier[k] for k in SHARDED_DEVICE_FIELDS if k in tier}
+
+
+def put_sharded(tier_np: Dict, mesh: Mesh) -> Dict:
+    """Device-place a packed sharded tier: search fields go on the mesh
+    (P(AXIS) over the flat per-shard blocks), docs_* bookkeeping stays
+    host-side numpy."""
+    sharding = jax.sharding.NamedSharding(mesh, P(AXIS))
+    return {
+        k: (jax.device_put(v, sharding) if k in SHARDED_DEVICE_FIELDS else v)
+        for k, v in tier_np.items()
+    }
 
 
 def build_sharded_view(
@@ -201,17 +252,34 @@ def build_sharded_view(
     n = mesh.devices.size
     file_np = _pack_tier_sharded(snapshot.file, n, file_slots, min_cap)
     mem_np = _pack_tier_sharded(snapshot.memory, n, mem_slots, min_cap)
+    return ShardedView(
+        file_tier=put_sharded(file_np, mesh),
+        mem_tier=put_sharded(mem_np, mesh),
+        n_shards=n,
+    )
 
-    sharding = jax.sharding.NamedSharding(mesh, P(AXIS))
 
-    def put(d):
-        return {k: jax.device_put(v, sharding) for k, v in d.items()}
-
-    return ShardedView(file_tier=put(file_np), mem_tier=put(mem_np), n_shards=n)
+def search_tiers(view: ShardedView) -> Tuple[Dict, Dict]:
+    """The (file, mem) device-field subsets to pass into
+    sharded_search_batch.  The file tier's mention table is not consulted
+    by the kernel (supersession only asks the MEMORY tier) so it is
+    dropped, mirroring tier_view_for_search(..., mentions=False)."""
+    f = {k: v for k, v in _device_fields(view.file_tier).items() if not k.startswith("mention")}
+    return f, _device_fields(view.mem_tier)
 
 
 def _tier_spec(tier) -> Dict[str, P]:
     return {k: P(AXIS) for k in tier}
+
+
+def _local_tier(tier: Dict) -> Dict:
+    """Inside shard_map: the flat device fields already arrive in the
+    kernel's per-shard shapes; only the per-shard scalar mention_len
+    ((1,) local) needs indexing."""
+    return {k: (v[0] if k == "mention_len" else v) for k, v in tier.items()}
+
+
+MATRIX_MAX = 1024  # widest combined stream scored sort-free (see below)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -219,112 +287,216 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
     """(B, Q) batched hash-range-sharded search — the serving path.
 
     Per shard: one range phase for the whole batch (Pallas blocked lookup on
-    big shards), plan+gather vmapped per query, then the per-query hit lists
-    all-gather over ICI (B * P * 12 bytes per shard) and every shard scores
+    big shards), local candidate extraction, then the per-query hit lists
+    all-gather over ICI (a few hundred KB per shard) and every shard scores
     the combined stream identically — bitwise the same scoring pipeline as
     the single-chip kernel, so scores are EXACT.  Supersession runs once for
     the whole batch's candidate stream against the local docid-range mention
-    shard and pmaxes across shards."""
+    shard and pmaxes across shards.
+
+    The shard body mirrors the single-chip cascade
+    (search_kernel._search_batch_impl) stage for stage — the round-3 sharded
+    program only had the plan+gather -> sort pipeline and ran ~12x slower
+    than the single-chip program at mesh-1:
+
+      * DIRECT path: each shard's emitting blocked lookup yields the landing
+        rows; candidates come straight out of them (no per-posting HBM
+        gathers), the per-shard streams all_gather, and the combined stream
+        scores sort-free via the equality matrix.  A query hash lives on
+        exactly ONE hash-range shard (zero counts elsewhere), so the union
+        of per-shard direct streams is exactly the single-chip stream.
+      * SMALL path: plan+gather at P_SMALL per shard, all_gather, matrix
+        scoring when the combined width fits MATRIX_MAX, else the sort path.
+      * FULL path: plan+gather at the full budget + sort scoring.
+
+    Every runtime predicate is made GLOBAL with a pmax (collectives inside
+    lax.cond branches require a replicated predicate)."""
 
     def shard_fn(file_t, mem_t, queries, q_lens, limits, min_scores, pcts):
-        # Leading shard dim of size 1 inside the shard -> squeeze.
-        file_t = {k: v[0] for k, v in file_t.items()}
-        mem_t = {k: v[0] for k, v in mem_t.items()}
-        f_search = {k: v for k, v in file_t.items() if k != "docs_alive"}
-        m_search = {k: v for k, v in mem_t.items() if k != "docs_alive"}
+        import dataclasses
 
-        # Local hit-lists over this shard's hash range, whole batch at once.
-        f_lo, f_cnt, m_lo, m_cnt, r_trunc = _batch_ranges(
-            params, f_search, m_search, queries, q_lens
-        )
+        # Flat per-shard locals arrive in the kernel's shapes (see
+        # _pack_tier_sharded) — no squeeze, no reshape copies.
+        f_search = _local_tier(file_t)
+        m_search = _local_tier(mem_t)
 
         B = queries.shape[0]
+        n_dev = mesh.devices.size
 
-        def gather_rank(p_eff, use_mem=True):
-            """Per-shard gather at budget p_eff, exact cross-shard combine
-            (concatenate every shard's hit list along the postings axis —
-            ordinals are global, every shard packs the same segment set
-            partitioned by hash, so the combined stream scores exactly like
-            a single-chip stream of the union), then rank.
-
-            `use_mem=False` compiles the no-memory-tier-gather variant for
-            the fully-merged steady state, mirroring the single-chip
-            kernel's has_mem branch (search_kernel._search_batch_impl)."""
-
-            def branch(_):
-                def plan_one(f_lo1, f_cnt1, m_lo1, m_cnt1):
-                    return _plan_and_gather(
-                        p_eff, f_search, m_search, f_lo1, f_cnt1, m_lo1, m_cnt1,
-                        use_mem=use_mem,
-                    )
-
-                d, o, inv, totals, overs = jax.vmap(plan_one)(f_lo, f_cnt, m_lo, m_cnt)
-                d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
-                o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
-                inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
-
-                def rank_one(d1, o1, inv1, min_score):
-                    return _score_rank(p_eff, d1, o1, inv1, min_score)
-
-                cd, co, csc, c_valid, c_over = jax.vmap(rank_one)(
-                    d_all, o_all, inv_all, min_scores
-                )
-                return cd, co, csc, c_valid, c_over, totals, overs
-
-            return branch
-
-        # Small-budget fast path, mirroring _search_batch_impl: when every
-        # query's postings fit P_SMALL on every shard, the gather, the ICI
-        # all_gather (n*P_SMALL vs n*P rows) and the scoring sorts all run
-        # at the narrow budget.  The predicate is made GLOBAL with a pmax so
-        # all shards take the same lax.cond branch (collectives inside the
-        # branches require a replicated predicate).
-        from ..ops.search_kernel import P_SMALL, small_budget
-
-        # candidate_cap bound is INTENTIONALLY n_dev*P_SMALL (not the
-        # single-chip P_SMALL): the ranked stream here is the all_gather'd
-        # union of every shard's P_SMALL-budget hit list.
-        n_dev = mesh.devices.size  # static: C must fit the combined stream
-        small_ok = params.postings_budget > P_SMALL and params.candidate_cap <= n_dev * P_SMALL
-        # Empty-memory-tier branch (global predicate: a hash-range shard can
-        # hold memory postings another shard lacks, so pmax replicates the
-        # choice — collectives inside the branches require it).
-        has_mem = jax.lax.pmax(jnp.sum(m_search["seg_len"]), AXIS) > 0
-
-        def at_budget(p_eff):
-            return lambda _: jax.lax.cond(
-                has_mem, gather_rank(p_eff, True), gather_rank(p_eff, False), None
+        # Local hit-lists over this shard's hash range, whole batch at once.
+        # The emitting variant powers the direct path (landing-block docid
+        # rows ride along for free).
+        want_emit = "inter" in f_search and params.query_len <= 256
+        emit_info = None
+        if want_emit:
+            f_lo, f_cnt, m_lo, m_cnt, r_trunc, emit_info = _batch_ranges(
+                params, f_search, m_search, queries, q_lens, want_emit=True
+            )
+        else:
+            f_lo, f_cnt, m_lo, m_cnt, r_trunc = _batch_ranges(
+                params, f_search, m_search, queries, q_lens
             )
 
+        # Global predicates (see docstring).
+        has_mem = jax.lax.pmax(jnp.sum(m_search["seg_len"]), AXIS) > 0
+        mem_mentions_any = jax.lax.pmax(m_search["mention_len"], AXIS) > 0
+
+        def combined_newest(d_flat, mask_flat):
+            # Supersession: within-tier supersession was resolved at pack
+            # time, so all that's left is "does the MEMORY tier mention this
+            # doc".  Each candidate doc lives in exactly one docid-range
+            # shard; the mention lookup answers locally, pmax combines.
+            local = _batch_newest(m_search, d_flat, mask_flat, mem_mentions_any)
+            return jax.lax.pmax(local, AXIS)
+
+        def select_matrix(d_all, o_all, inv_all, totals, overs):
+            """Stages 3-7 sort-free on the combined stream: equality-matrix
+            scoring (no candidate cap at all) + comparison-count ranking —
+            the same exactness-pinned pipeline as the single-chip matrix
+            path (_score_matrix/_final_select_matrix)."""
+            win, score, cand = jax.vmap(
+                lambda d1, o1, i1, ms: _score_matrix(params, d1, o1, i1, ms)
+            )(d_all, o_all, inv_all, min_scores)
+            newest = combined_newest(
+                d_all.reshape(-1), cand.reshape(-1)
+            ).reshape(d_all.shape)
+            out = jax.vmap(
+                lambda d1, s1, w1, c1, n1, l1, ms1, p1: _final_select_matrix(
+                    params, d1, s1, w1, c1, n1, l1, ms1, p1
+                )
+            )(d_all, score, win, cand, newest, limits, min_scores, pcts)
+            return out, totals, overs
+
+        def select_sorted(p_eff, d_all, o_all, inv_all, totals, overs):
+            """Stages 3-7 via the sorting pipeline on the combined stream."""
+            cd, co, csc, c_valid, c_over = jax.vmap(
+                lambda d1, o1, i1, ms: _score_rank(p_eff, d1, o1, i1, ms)
+            )(d_all, o_all, inv_all, min_scores)
+            newest = combined_newest(
+                cd.reshape(-1), c_valid.reshape(-1)
+            ).reshape(cd.shape)
+            out = jax.vmap(lambda *a: _final_select(params, *a))(
+                cd, co, csc, c_valid, newest, limits, min_scores, pcts
+            )
+            return out, totals, jnp.logical_or(overs, c_over)
+
+        def select_any(p_eff, d_all, o_all, inv_all, totals, overs):
+            # Static width decision: the (W, W) equality matrix wins while
+            # the combined stream stays narrow; wide streams (big meshes at
+            # the full budget) sort instead.
+            if d_all.shape[1] <= MATRIX_MAX:
+                return select_matrix(d_all, o_all, inv_all, totals, overs)
+            return select_sorted(p_eff, d_all, o_all, inv_all, totals, overs)
+
+        def gather_path(p_eff):
+            """Per-shard plan+gather at budget p_eff, exact cross-shard
+            combine (concatenate every shard's hit list along the postings
+            axis — a hash's postings live on one shard, so the combined
+            stream is exactly the single-chip stream of the union)."""
+
+            def branch(use_mem):
+                def inner(_):
+                    def plan_one(f_lo1, f_cnt1, m_lo1, m_cnt1):
+                        return _plan_and_gather(
+                            p_eff, f_search, m_search, f_lo1, f_cnt1, m_lo1, m_cnt1,
+                            use_mem=use_mem,
+                        )
+
+                    d, o, inv, totals, overs = jax.vmap(plan_one)(f_lo, f_cnt, m_lo, m_cnt)
+                    d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
+                    o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
+                    inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
+                    return select_any(p_eff, d_all, o_all, inv_all, totals, overs)
+
+                return inner
+
+            return jax.lax.cond(has_mem, branch(True), branch(False), None)
+
+        # candidate_cap bound is INTENTIONALLY n_dev*P_SMALL (not the
+        # single-chip P_SMALL): the sorted ranker's top-C slice must fit the
+        # all_gather'd union of every shard's P_SMALL-budget hit list (the
+        # matrix ranker has no cap, but the small path may select either).
+        small_ok = params.postings_budget > P_SMALL and params.candidate_cap <= n_dev * P_SMALL
         if small_ok:
             p_small, totals_rough = small_budget(params, f_cnt, m_cnt, B)
             small = jax.lax.pmax(jnp.max(totals_rough), AXIS) <= P_SMALL
-            cd, co, csc, c_valid, c_over, totals, overs = jax.lax.cond(
-                small, at_budget(p_small), at_budget(params), None
-            )
+
+            def base_path(_):
+                return jax.lax.cond(
+                    small,
+                    lambda _: gather_path(p_small),
+                    lambda _: gather_path(params),
+                    None,
+                )
         else:
-            cd, co, csc, c_valid, c_over, totals, overs = at_budget(params)(None)
+            def base_path(_):
+                return gather_path(params)
 
-        # Supersession: within-tier supersession was resolved at pack time,
-        # so all that's left is "does the MEMORY tier mention this doc".
-        # Each candidate doc lives in exactly one docid-range shard; the
-        # mention lookup answers locally, pmax combines.  The skip
-        # predicate must be GLOBAL (another shard can hold the mention this
-        # shard lacks), hence the pmax over mention_len.
-        mem_mentions_any = jax.lax.pmax(m_search["mention_len"], AXIS) > 0
-        local = _batch_newest(
-            m_search, cd.reshape(-1), c_valid.reshape(-1), mem_mentions_any
-        )
-        newest = jax.lax.pmax(local, AXIS).reshape(cd.shape)
+        if emit_info is not None:
+            # Direct path: gather-free file-tier candidates straight from
+            # the emitted landing rows (search_kernel._direct_candidates),
+            # engaged when every query's fallback remainder fits F_DIRECT on
+            # every shard.  Memory-tier postings ride along through a
+            # tiny-budget gather that self-skips when the tier is empty.
+            rows, covered = emit_info
+            E_direct = 2 if params.query_len <= 128 else 1
+            ov_tot = jnp.sum(
+                jnp.maximum(f_cnt - jnp.where(covered, E_direct, 0), 0), axis=1
+            )
+            m_tot = jnp.sum(m_cnt, axis=1)
+            direct_ok = jnp.logical_and(
+                jax.lax.pmax(jnp.max(ov_tot), AXIS) <= F_DIRECT,
+                jax.lax.pmax(jnp.max(m_tot), AXIS) <= P_MEM_DIRECT,
+            )
 
-        out = jax.vmap(lambda *a: _final_select(params, *a))(
-            cd, co, csc, c_valid, newest, limits, min_scores, pcts
-        )
+            def direct_path(_):
+                d_f, inv_f, totals_f = _direct_candidates(
+                    params, f_search, rows, covered, f_lo, f_cnt, E_direct
+                )
+                p_mem = dataclasses.replace(params, postings_budget=P_MEM_DIRECT)
+
+                def mem_branch(_):
+                    def one(f_lo1, m_lo1, m_cnt1):
+                        dm, _om, im, tot, _over = _plan_and_gather(
+                            p_mem, f_search, m_search, f_lo1, jnp.zeros_like(m_cnt1),
+                            m_lo1, m_cnt1, use_mem=True, use_file=False,
+                        )
+                        return dm, im, tot
+
+                    return jax.vmap(one)(f_lo, m_lo, m_cnt)
+
+                def no_mem(_):
+                    return (
+                        jnp.full((B, P_MEM_DIRECT), SENTINEL, jnp.uint32),
+                        jnp.ones((B, P_MEM_DIRECT), jnp.int32),
+                        jnp.zeros((B,), jnp.int32),
+                    )
+
+                d_m, inv_m, totals_m = jax.lax.cond(has_mem, mem_branch, no_mem, None)
+                d = jnp.concatenate([d_f, d_m], axis=1)
+                inv = jnp.concatenate([inv_f, inv_m], axis=1)
+                o = jnp.concatenate(
+                    [
+                        jnp.zeros(d_f.shape, jnp.int32),
+                        jnp.full(d_m.shape, TIER_MEM, jnp.int32),
+                    ],
+                    axis=1,
+                )
+                d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
+                o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
+                inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
+                return select_any(
+                    params, d_all, o_all, inv_all,
+                    totals_f + totals_m, jnp.zeros((B,), jnp.bool_),
+                )
+
+            out, totals, overs = jax.lax.cond(direct_ok, direct_path, base_path, None)
+        else:
+            out, totals, overs = base_path(None)
+
         shard_trunc = jnp.logical_or(r_trunc, overs)  # (B,) per query
         out["postings_scanned"] = jax.lax.psum(totals, AXIS)
-        out["truncated"] = jnp.logical_or(
-            jax.lax.psum(shard_trunc.astype(jnp.int32), AXIS) > 0, c_over
-        )
+        out["truncated"] = jax.lax.psum(shard_trunc.astype(jnp.int32), AXIS) > 0
         # Per-hash scan skew: a hash lives on exactly ONE hash-range shard
         # (others count 0 for it), so pmax of the local per-query maxima is
         # the exact global max-per-hash.
@@ -364,11 +536,12 @@ def sharded_search(
     pct: int,
 ):
     """Single-query wrapper over the batched program (tests / dryrun)."""
+    f_t, m_t = search_tiers(view)
     out = sharded_search_batch(
         params,
         mesh,
-        view.file_tier,
-        view.mem_tier,
+        f_t,
+        m_t,
         jnp.asarray(query, jnp.uint32)[None, :],
         jnp.full((1,), q_len, jnp.int32),
         jnp.full((1,), limit, jnp.int32),

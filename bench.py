@@ -347,6 +347,7 @@ def sharded_bench(jax, jnp):
     from acoustid_index_tpu.parallel.sharded import (
         build_sharded_view,
         make_mesh,
+        search_tiers,
         sharded_search_batch,
     )
 
@@ -362,6 +363,7 @@ def sharded_bench(jax, jnp):
     snap = Snapshot(file=(seg,), memory=())
     mesh = make_mesh(1)
     view = build_sharded_view(snap, mesh)
+    f_t, m_t = search_tiers(view)
     build_s = time.time() - t0
     log(f"sharded view built ({build_s:.0f}s)")
 
@@ -375,7 +377,7 @@ def sharded_bench(jax, jnp):
     t0 = time.time()
     out = jax.device_get(
         sharded_search_batch(
-            params, mesh, view.file_tier, view.mem_tier, qs, lens, limits, min_scores, pcts
+            params, mesh, f_t, m_t, qs, lens, limits, min_scores, pcts
         )
     )
     compile_s = time.time() - t0
@@ -395,11 +397,11 @@ def sharded_bench(jax, jnp):
     KLO, KHI, REPS = 4, 32, 3
     times = {KLO: [], KHI: []}
     for k in (KLO, KHI):
-        int(jax.device_get(run_k(k, view.file_tier, view.mem_tier, qs, lens, limits, min_scores, pcts)))
+        int(jax.device_get(run_k(k, f_t, m_t, qs, lens, limits, min_scores, pcts)))
         for r in range(REPS):
             qs_t = qs + np.uint32(1 + r)
             t0 = time.time()
-            int(jax.device_get(run_k(k, view.file_tier, view.mem_tier, qs_t, lens, limits, min_scores, pcts)))
+            int(jax.device_get(run_k(k, f_t, m_t, qs_t, lens, limits, min_scores, pcts)))
             times[k].append(time.time() - t0)
     per_batch = max(
         (sorted(times[KHI])[REPS // 2] - sorted(times[KLO])[REPS // 2]) / (KHI - KLO), 1e-6

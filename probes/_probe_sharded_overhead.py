@@ -32,15 +32,16 @@ from acoustid_index_tpu.engine.model import BulkInsert, SegmentInfo
 from acoustid_index_tpu.engine.searcher import _params_for
 from acoustid_index_tpu.engine.segments import Snapshot
 from acoustid_index_tpu.parallel.sharded import (
+    search_tiers,
     AXIS,
     Mesh,
     build_sharded_view,
     sharded_search_batch,
 )
 
-N_DOCS = 400_000
+N_DOCS = 150_000
 K = 24
-BATCH = 64
+BATCH = 32
 
 
 def doc_hashes(ids, n):
@@ -84,13 +85,14 @@ def main():
 
     print(f"corpus {N_DOCS} docs x {K} = {N_DOCS*K/1e6:.0f}M postings; batch {BATCH}")
     base_ms = None
-    for n in (1, 2, 4, 8):
+    for n in (1, 4, 8):
         mesh = Mesh(np.array(devices[:n]), (AXIS,))
         view = build_sharded_view(snap, mesh)
+        f_t, m_t = search_tiers(view)
 
         def call(q_arr):
             return sharded_search_batch(
-                params, mesh, view.file_tier, view.mem_tier,
+                params, mesh, f_t, m_t,
                 q_arr, lens, limits, min_scores, pcts,
             )
 
@@ -98,7 +100,7 @@ def main():
         hit = float(np.mean(out["ids"][:, 0] == targets))
         assert hit > 0.95, (n, hit)
         reps = []
-        for r in range(7):
+        for r in range(5):
             q_t = qs + np.uint32(r & 1)
             t0 = time.time()
             jax.block_until_ready(call(q_t))

@@ -38,7 +38,14 @@ def test_cold_bucket_serves_through_warm_superset():
     orig_launch = s._launch
 
     def spy_launch(snapshot, params, packed_in):
-        launched.append((params.query_len, params.out_len, packed_in.shape))
+        # Row 0's q_len field distinguishes the SERVING launch (the real
+        # query, q_len=6) from the background precompiler's dummy launches
+        # (q_len=1), which race into this list when the persistent XLA
+        # cache makes the exact-bucket compile instant.
+        launched.append(
+            (params.query_len, params.out_len, packed_in.shape,
+             int(packed_in[0, params.query_len]))
+        )
         return orig_launch(snapshot, params, packed_in)
 
     s._launch = spy_launch
@@ -55,8 +62,9 @@ def test_cold_bucket_serves_through_warm_superset():
         q = [10 * 7 + j for j in range(6)]  # doc 10's hashes
         res, stats = s.search(snap, q, SearchOptions(max_results=5, min_score=2))
         assert res and res[0].id == 10 and res[0].score == 6
-        assert launched, "nothing launched"
-        assert launched[0][0] == 256, launched  # superset program served it
+        serving = [l for l in launched if l[3] == 6]
+        assert serving, f"no serving launch: {launched}"
+        assert serving[0][0] == 256, launched  # superset program served it
         key64 = s._shape_key(snap, _params_for(64), 1)
         # The exact bucket either already compiled (fast CPU) or is queued.
         assert key64 in s._warm or key64 in s._precompiling
@@ -66,7 +74,8 @@ def test_cold_bucket_serves_through_warm_superset():
         launched.clear()
         res, _ = s.search(snap, q, SearchOptions(max_results=5, min_score=2))
         assert res and res[0].id == 10
-        assert launched and launched[0][0] == 64, launched
+        serving = [l for l in launched if l[3] == 6]
+        assert serving and serving[0][0] == 64, launched
     finally:
         s.close()
 
