@@ -217,6 +217,13 @@ class Index:
             self._stop.clear()
             self._maintenance = threading.Thread(target=self._maintenance_loop, daemon=True, name=f"maint:{self.path}")
             self._maintenance.start()
+            # Same exit-safety contract as the searcher pipeline: a daemon
+            # maintenance thread mid-merge sits inside jax/pybind11 frames,
+            # and CPython's pthread_exit unwind through them aborts the
+            # process at shutdown.  Unregistered by stop().
+            import atexit
+
+            atexit.register(self.stop)
 
     def stop(self) -> None:
         if self._maintenance is not None:
@@ -224,6 +231,9 @@ class Index:
             self._wake.set()
             self._maintenance.join(timeout=120)
             self._maintenance = None
+            import atexit
+
+            atexit.unregister(self.stop)
 
     def _maintenance_loop(self) -> None:
         while not self._stop.is_set():

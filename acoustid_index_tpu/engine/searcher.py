@@ -8,6 +8,7 @@ a bucketed static length so XLA compiles a handful of programs.
 
 from __future__ import annotations
 
+import atexit
 import os
 import threading
 import time
@@ -445,6 +446,12 @@ class BatchingSearcher(Searcher):
         for t in ts:
             t.start()
         self._threads = ts
+        # Drain the daemons at interpreter exit for EVERY instance (not just
+        # the default singleton): CPython kills daemon threads by pthread_exit
+        # at their next GIL acquisition, and a thread force-unwound under
+        # jax's pybind11 C++ frames aborts/segfaults the process at shutdown.
+        # Unregistered again when close() joins the threads.
+        atexit.register(self.close)
 
     def close(self) -> None:
         """Stop the pipeline threads (daemonized, so optional).  The
@@ -470,6 +477,7 @@ class BatchingSearcher(Searcher):
             with self._qcond:
                 self._threads = None
                 self._stopping = False
+            atexit.unregister(self.close)
 
     def _purge_expired(self, batch: List[_PendingSearch]) -> List[_PendingSearch]:
         """Resolve CLAIMED requests whose absolute deadline already passed
@@ -994,14 +1002,7 @@ def default_searcher() -> Searcher:
     global _default_searcher
     with _default_lock:
         if _default_searcher is None:
+            # Exit-time draining of the pipeline daemons is registered by
+            # _ensure_threads_locked (per instance, when threads start).
             _default_searcher = BatchingSearcher()
-            # Drain the pipeline daemons (dispatch/precompile/collect) at
-            # interpreter exit: CPython kills daemon threads by pthread_exit
-            # at their next GIL acquisition, and a thread re-taking the GIL
-            # under jax's pybind11 frames gets force-unwound through C++
-            # catch blocks — a measured 'FATAL: exception not rethrown'
-            # abort whenever a background precompile was still in flight.
-            import atexit
-
-            atexit.register(_default_searcher.close)
         return _default_searcher

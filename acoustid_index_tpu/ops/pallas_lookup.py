@@ -322,7 +322,7 @@ def block_lookup_wave(hashes: jax.Array, blk: jax.Array, queries: jax.Array, str
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[
                 pltpu.VMEM((nbuf, g * ROWS, 128), jnp.uint32),
@@ -442,10 +442,10 @@ def block_lookup_emit_wave(inter: jax.Array, blk: jax.Array, queries: jax.Array)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nbuf, g * TR, 128), jnp.uint32),

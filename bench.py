@@ -16,7 +16,13 @@ Three phases:
      Scaled to E2E_DOCS (default 2M; QPS was measured scale-flat 10M->134M
      in round 1, see README).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+A fourth phase — the 134M-fingerprint scale point (bench_100m.py) — runs
+FIRST after the parity gate so its ~9.7GB corpus gets a clean HBM.
+
+Prints ONE COMPACT JSON line on stdout (headline keys only — the driver
+records just the tail of stdout): {"metric", "value", "unit",
+"vs_baseline", "qps_134M", "sharded_qps_mesh1", ...}.  The full detail
+dict goes to BENCH_DETAIL.json and the stderr log.
 
 vs_baseline is an ESTIMATE-vs-estimate ratio: the reference publishes no
 benchmark numbers at all (BASELINE.md — no benchmarks/ dir, no perf CI, and
@@ -1007,47 +1013,20 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
+    import gc
+
     t0 = time.time()
     parity_gate()
     parity_s = time.time() - t0
     log(f"parity gate ok ({parity_s:.0f}s)")
 
-    k = kernel_bench(jax, jnp)
-    log(f"kernel bench: {k['qps']:.0f} qps")
-
-    sh = {}
-    if os.environ.get("AITPU_BENCH_SHARDED", "1") == "1":
-        import gc
-
-        gc.collect()
-        try:
-            sh = sharded_bench(jax, jnp)
-            # The single-chip cost of the sharded program STRUCTURE
-            # (shard_map + degenerate collectives + replicated scoring) —
-            # sharded_qps_mesh1 / qps; the multi-chip projection multiplies
-            # the shard-local speedup against this constant.
-            sh["sharded_overhead_x"] = k["qps"] / max(sh["sharded_qps_mesh1"], 1e-9)
-            log(
-                f"sharded mesh-1: {sh['sharded_qps_mesh1']:.0f} qps "
-                f"({sh['sharded_overhead_x']:.2f}x overhead vs unsharded)"
-            )
-        except Exception as exc:  # noqa: BLE001 — report, don't lose the line
-            sh = {"sharded_qps_mesh1_error": f"{type(exc).__name__}: {exc}"[:200]}
-            log(f"sharded bench failed: {exc}")
-        gc.collect()
-
-    e = e2e_bench(jax) if E2E_DOCS else {}
-    log(f"e2e bench: {e.get('e2e_qps', 0):.0f} qps")
-
-    # 134M-fingerprint scale point (the BASELINE.md north-star metric), in
-    # the same driver-captured line.  Freed tables from the earlier phases
-    # make room for its ~9.7GB corpus; failures degrade to absent fields
-    # rather than losing the whole bench.
+    # 134M-fingerprint scale point (the BASELINE.md north-star metric) runs
+    # FIRST: its ~9.7GB corpus needs a clean HBM, and round 4 proved that
+    # running it last — after the 10M table, the sharded view, and the e2e
+    # server's sticky views — leaves too little (RESOURCE_EXHAUSTED).  Its
+    # tables are function-local, so they free on return for the later phases.
     m134 = {}
     if os.environ.get("AITPU_BENCH_134M", "1") == "1":
-        import gc
-
-        gc.collect()
         try:
             import bench_100m
 
@@ -1076,45 +1055,93 @@ def main():
         except Exception as exc:  # noqa: BLE001 — report, don't lose the line
             m134 = {"qps_134M_error": f"{type(exc).__name__}: {exc}"[:200]}
             log(f"134M bench failed: {exc}")
+        gc.collect()  # drop the 134M tables before the 10M phase allocates
 
-    print(
-        json.dumps(
-            {
-                "metric": "search_qps_10M_fp_1chip",
-                "value": round(k["qps"], 1),
-                "unit": "qps",
-                "vs_baseline": round(k["qps"] / REFERENCE_QPS_ESTIMATE, 3),
-                "baseline_note": "denominator is a pinned ESTIMATE (reference publishes no numbers; zig unavailable to measure it here)",
-                "value_note": "value = on-device fori-loop slope of the serving program (tunnel-immune; what attached chips serve); tunneled_pipeline_qps/e2e_* include the dev tunnel's ~12-24ms per-transfer round trips, absent in production",
-                "tunneled_pipeline_qps": round(k["tunneled_pipeline_qps"], 1),
-                "batch": BATCH,
-                "query_hashes": 120,
-                "p50_batch_ms": round(k["p50_batch_ms"], 2),
-                "p99_batch_ms": round(k["p99_batch_ms"], 2),
-                "per_query_p50_ms": round(k["p50_batch_ms"] / BATCH, 3),
-                "device_batch1_ms": round(k["device_batch1_ms"], 3),
-                "build_s": round(k["build_s"], 1),
-                "compile_s": round(k["compile_s"], 1),
-                "self_retrieval_hit_rate": k["hit_rate"],
-                "n_docs": N_DOCS,
-                "n_postings": N_DOCS * HASHES_PER_DOC,
-                "parity_gate": "ok",
-                "parity_gate_s": round(parity_s, 1),
-                **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in sh.items()},
-                **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
-                **m134,
-                "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_hostonly_qps is the same load with the device removed (canned launch results) = the pure host-path ceiling, so pipeline vs hostonly vs the device slope attributes the gap between host work, tunnel transfers, and device time; e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state; its open-loop qps is tunnel-bound — per-update tier uploads serialize against search fetches on the dev tunnel — so e2e_rw_device_qps reports the tunnel-immune device slope of the final S>1 snapshot, the attached-chip number)",
-                "device": str(dev),
-                "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
-            }
-        )
-    )
-    # The JSON line is the deliverable; don't let teardown of background
-    # compile/serving threads (or a slow tunnel disconnect) turn a completed
-    # bench into a nonzero exit.
+    k = kernel_bench(jax, jnp)
+    log(f"kernel bench: {k['qps']:.0f} qps")
+
+    sh = {}
+    if os.environ.get("AITPU_BENCH_SHARDED", "1") == "1":
+        gc.collect()
+        try:
+            sh = sharded_bench(jax, jnp)
+            # The single-chip cost of the sharded program STRUCTURE
+            # (shard_map + degenerate collectives + replicated scoring) —
+            # sharded_qps_mesh1 / qps; the multi-chip projection multiplies
+            # the shard-local speedup against this constant.
+            sh["sharded_overhead_x"] = k["qps"] / max(sh["sharded_qps_mesh1"], 1e-9)
+            log(
+                f"sharded mesh-1: {sh['sharded_qps_mesh1']:.0f} qps "
+                f"({sh['sharded_overhead_x']:.2f}x overhead vs unsharded)"
+            )
+        except Exception as exc:  # noqa: BLE001 — report, don't lose the line
+            sh = {"sharded_qps_mesh1_error": f"{type(exc).__name__}: {exc}"[:200]}
+            log(f"sharded bench failed: {exc}")
+        gc.collect()
+
+    e = e2e_bench(jax) if E2E_DOCS else {}
+    log(f"e2e bench: {e.get('e2e_qps', 0):.0f} qps")
+
+    detail = {
+        "metric": "search_qps_10M_fp_1chip",
+        "value": round(k["qps"], 1),
+        "unit": "qps",
+        "vs_baseline": round(k["qps"] / REFERENCE_QPS_ESTIMATE, 3),
+        "baseline_note": "denominator is a pinned ESTIMATE (reference publishes no numbers; zig unavailable to measure it here)",
+        "value_note": "value = on-device fori-loop slope of the serving program (tunnel-immune; what attached chips serve); tunneled_pipeline_qps/e2e_* include the dev tunnel's ~12-24ms per-transfer round trips, absent in production",
+        "tunneled_pipeline_qps": round(k["tunneled_pipeline_qps"], 1),
+        "batch": BATCH,
+        "query_hashes": 120,
+        "p50_batch_ms": round(k["p50_batch_ms"], 2),
+        "p99_batch_ms": round(k["p99_batch_ms"], 2),
+        "per_query_p50_ms": round(k["p50_batch_ms"] / BATCH, 3),
+        "device_batch1_ms": round(k["device_batch1_ms"], 3),
+        "build_s": round(k["build_s"], 1),
+        "compile_s": round(k["compile_s"], 1),
+        "self_retrieval_hit_rate": k["hit_rate"],
+        "n_docs": N_DOCS,
+        "n_postings": N_DOCS * HASHES_PER_DOC,
+        "parity_gate": "ok",
+        "parity_gate_s": round(parity_s, 1),
+        **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in sh.items()},
+        **{kk: (round(vv, 3) if isinstance(vv, float) else vv) for kk, vv in e.items()},
+        **m134,
+        "e2e_note": "e2e drives the real serving path; e2e_qps is closed-loop (bounded by threads x per-request latency, which includes the dev tunnel's ~24ms RTT), e2e_pipeline_qps is open-loop through the async batching pipeline (the serving capacity number); e2e_hostonly_qps is the same load with the device removed (canned launch results) = the pure host-path ceiling, so pipeline vs hostonly vs the device slope attributes the gap between host work, tunnel transfers, and device time; e2e_rw_* is the open-loop load with a concurrent writer (the S>1 write-heavy serving state; its open-loop qps is tunnel-bound — per-update tier uploads serialize against search fetches on the dev tunnel — so e2e_rw_device_qps reports the tunnel-immune device slope of the final S>1 snapshot, the attached-chip number)",
+        "device": str(dev),
+        "env_note": "dev TPU is tunneled (axon): each batch pays ~24ms host-device sync that vanishes on directly-attached chips",
+    }
+
+    # Full detail goes to a file + stderr; stdout gets ONE COMPACT line with
+    # the headline keys LAST in the stream — the driver records only the
+    # tail of stdout (~2KB), and round 4's single giant line pushed every
+    # headline number out of the captured artifact.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    log(f"detail: {json.dumps(detail)}")
+
+    headline_keys = [
+        "metric", "value", "unit", "vs_baseline",
+        "qps_134M", "qps_134M_error", "hit_rate_134M", "n_docs_134M",
+        "sharded_qps_mesh1", "sharded_qps_mesh1_error", "sharded_overhead_x",
+        "parity_gate", "self_retrieval_hit_rate", "n_docs",
+        "e2e_pipeline_qps", "e2e_hostonly_qps", "e2e_native_hostonly_qps",
+        "e2e_native_qps", "e2e_rw_qps", "e2e_rw_device_qps", "e2e_rw_segments",
+        "e2e_http_ingest_docs_per_s", "e2e_p50_ms", "e2e_p99_ms", "device",
+    ]
+    headline = {kk: detail[kk] for kk in headline_keys if kk in detail}
+    headline["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(headline))
     sys.stdout.flush()
     sys.stderr.flush()
-    os._exit(0)
+
+    # Deterministic teardown instead of the old os._exit shield: drain the
+    # batching pipeline's daemon threads now (their atexit hooks would do it
+    # anyway; doing it here keeps exit prompt and proves clean shutdown).
+    from acoustid_index_tpu.engine import searcher as _searcher_mod
+
+    if _searcher_mod._default_searcher is not None:
+        _searcher_mod._default_searcher.close()
 
 
 if __name__ == "__main__":

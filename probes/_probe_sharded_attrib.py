@@ -196,6 +196,17 @@ def main():
         )
         return jnp.sum(out["ids"].astype(jnp.uint32))
 
+    def impl_fn(qs2, tiers):
+        """The unsharded program on whatever (file, mem) tier pair is passed
+        — used by the unsh/analytic variants with non-sharded views."""
+        from acoustid_index_tpu.ops.search_kernel import _search_batch_impl
+
+        out = _search_batch_impl(
+            params, tiers[0], tiers[1], qs2, lens_j,
+            jnp.asarray(limits), minsc_j, jnp.asarray(pcts),
+        )
+        return jnp.sum(out["ids"].astype(jnp.uint32))
+
     def direct_fn(qs2, tiers):
         """The direct pipeline FORCED (no lax.cond): emit ranges ->
         _direct_candidates -> matrix score/select.  If this runs at the
@@ -516,6 +527,84 @@ def main():
     names = sys.argv[1:] or ["ranges", "gather", "score", "full"]
     if "diag" in names:
         diag(tiers)
+
+    # Non-sharded reference views, measured in the SAME session so numbers
+    # are directly comparable to single/full:
+    #   unsh     — the real production pack (engine.segments.pack_tier)
+    #   analytic — bench.py kernel_bench's hand-built device table (the
+    #              headline's 1.8ms table)
+    if "unsh" in names:
+        from acoustid_index_tpu.engine.segments import (
+            FILE_SLOTS,
+            MEMORY_SLOTS,
+            pack_tier,
+            tier_view_for_search,
+        )
+
+        t0 = time.time()
+        fv = tier_view_for_search(pack_tier([seg], FILE_SLOTS), mentions=False)
+        mv = tier_view_for_search(pack_tier([], MEMORY_SLOTS))
+        jax.block_until_ready(fv["inter"] if "inter" in fv else fv["hashes"])
+        print(f"unsh pack_tier view built {time.time()-t0:.0f}s "
+              f"shapes={[(k, tuple(v.shape)) for k, v in fv.items() if hasattr(v, 'shape')]}")
+        t0 = time.time()
+        per = slope(impl_fn, jnp.asarray(qs), (fv, mv))
+        print(f"unsh   : {per*1000:7.2f} ms/batch ({BATCH/per:8.0f} qps)  [{time.time()-t0:.0f}s incl compile]")
+        del fv, mv
+
+    if "analytic" in names:
+        from acoustid_index_tpu.ops.build import sort_postings
+        from acoustid_index_tpu.ops.layout import interleave_jnp
+
+        n_postings = N_DOCS * K
+        cap = 1
+        while cap < n_postings:
+            cap *= 2
+
+        @jax.jit
+        def make_table():
+            ids = jnp.arange(1, N_DOCS + 1, dtype=jnp.uint32)
+            j = jnp.arange(K, dtype=jnp.uint32)
+            h = ids[:, None] * jnp.uint32(2654435761)
+            h = h + j[None, :] * jnp.uint32(0x27D4EB2F) + jnp.uint32(12345)
+            h = h ^ (h >> jnp.uint32(13))
+            h = h * jnp.uint32(0x85EBCA6B)
+            h = h ^ (h >> jnp.uint32(16))
+            hashes = h.reshape(-1)
+            docids = jnp.broadcast_to(ids[:, None], (N_DOCS, K)).reshape(-1)
+            h_sorted, d_sorted = sort_postings(hashes, docids, hashes.shape[0])
+
+            def pad(a, fill):
+                out = jnp.full((cap,), fill, a.dtype)
+                return jax.lax.dynamic_update_slice(out, a, (0,))
+
+            h_pad = pad(h_sorted, jnp.uint32(0xFFFFFFFF))
+            d_pad = pad(d_sorted, jnp.uint32(0xFFFFFFFF))
+            return interleave_jnp(h_pad, d_pad), h_pad[::1024]
+
+        t0 = time.time()
+        inter_a, bi_a = make_table()
+        inter_a.block_until_ready()
+        print(f"analytic table built {time.time()-t0:.0f}s")
+        fta = {
+            "inter": inter_a,
+            "block_index": bi_a,
+            "seg_start": jnp.zeros(1, jnp.int32),
+            "seg_len": jnp.zeros(1, jnp.int32).at[0].set(n_postings),
+        }
+        mta = {
+            "hashes": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+            "docids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+            "block_index": jnp.full(1, 0xFFFFFFFF, jnp.uint32),
+            "seg_start": jnp.zeros(1, jnp.int32),
+            "seg_len": jnp.zeros(1, jnp.int32),
+            "mention_ids": jnp.full(1024, 0xFFFFFFFF, jnp.uint32),
+            "mention_len": jnp.int32(0),
+        }
+        t0 = time.time()
+        per = slope(impl_fn, jnp.asarray(qs), (fta, mta))
+        print(f"analytic: {per*1000:6.2f} ms/batch ({BATCH/per:8.0f} qps)  [{time.time()-t0:.0f}s incl compile]")
+        del fta, mta, inter_a, bi_a
     for name, fn in (("ranges", ranges_fn), ("gather", gather_fn),
                      ("score", score_fn), ("full", full_fn),
                      ("single", single_fn), ("direct", direct_fn),

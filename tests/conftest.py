@@ -21,22 +21,7 @@ except Exception:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def pytest_unconfigure(config):
-    # Daemon pipeline/server threads can sit inside C++ (device_get, socket
-    # accept) at interpreter shutdown; CPython killing them mid-call
-    # occasionally aborts the process ("terminate called ... FATAL:
-    # exception not rethrown") AFTER pytest has reported, turning a fully
-    # passing run into a nonzero exit.  All reporting is done by the time
-    # unconfigure runs, so exit hard with pytest's own status.
-    import os as _os
-    import sys as _sys
-
-    _sys.stdout.flush()
-    _sys.stderr.flush()
-    status = getattr(config, "_aitpu_exitstatus", None)
-    if status is not None:
-        _os._exit(int(status))
-
-
-def pytest_sessionfinish(session, exitstatus):
-    session.config._aitpu_exitstatus = int(exitstatus)
+# No exit-time shield here: every thread owner (BatchingSearcher pipelines,
+# Index maintenance) registers an atexit drain when its daemon threads start,
+# so a normal interpreter shutdown never kills a thread inside jax/pybind11
+# frames.  A clean `pytest` exit code is itself part of what the suite proves.
