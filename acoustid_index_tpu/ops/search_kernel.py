@@ -714,12 +714,20 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
             jnp.max(ov_tot) <= F_DIRECT, jnp.max(m_tot) <= P_MEM_DIRECT
         )
 
+        # _direct_candidates runs UNCONDITIONALLY, outside the lax.cond: the
+        # emit kernel's `rows` output crossing a conditional boundary as a
+        # branch operand costs ~6.4ms/batch on TPU (measured: the cascade
+        # under cond ran 8.3ms vs 1.6ms forced; wrapping only this stage in
+        # a cond reproduced 7.8ms, hoisting it restored 1.8ms — see
+        # probes/_probe_sharded_attrib.py condcand/condtail).  Hoisted, the
+        # non-direct case pays only the ~0.2ms lane-select + tiny gather.
+        d_f, inv_f, totals_f = _direct_candidates(
+            p, file_tier, rows, covered, f_lo, f_cnt, E_direct
+        )
+
         def direct_path(_):
             import dataclasses
 
-            d_f, inv_f, totals_f = _direct_candidates(
-                p, file_tier, rows, covered, f_lo, f_cnt, E_direct
-            )
             p_mem = dataclasses.replace(p, postings_budget=P_MEM_DIRECT)
 
             def mem_branch(_):

@@ -449,10 +449,15 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
                 jax.lax.pmax(jnp.max(m_tot), AXIS) <= P_MEM_DIRECT,
             )
 
+            # Hoisted out of the lax.cond — the emit kernel's `rows` output
+            # crossing a conditional boundary costs ~6.4ms/batch on TPU (see
+            # search_kernel._search_batch_impl and
+            # probes/_probe_sharded_attrib.py condcand/condtail).
+            d_f, inv_f, totals_f = _direct_candidates(
+                params, f_search, rows, covered, f_lo, f_cnt, E_direct
+            )
+
             def direct_path(_):
-                d_f, inv_f, totals_f = _direct_candidates(
-                    params, f_search, rows, covered, f_lo, f_cnt, E_direct
-                )
                 p_mem = dataclasses.replace(params, postings_budget=P_MEM_DIRECT)
 
                 def mem_branch(_):
