@@ -47,11 +47,15 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_set>
 #include <vector>
 
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
+#include <sys/epoll.h>
+#include <sys/eventfd.h>
 #include <sys/socket.h>
 #include <unistd.h>
 
@@ -69,8 +73,15 @@ constexpr int64_t MAX_LIMIT = 100;
 
 enum ReqState { QUEUED = 0, CLAIMED = 1, DONE = 2, TIMEDOUT = 3 };
 
+struct Conn;
+struct Loop;
+
 struct Req {
-    std::condition_variable cv;  // waits on the server's global mutex
+    // Lifecycle: a loop thread creates it, enqueues it on its group under
+    // the server mutex, and owns encode/respond/delete; the pump claims it
+    // (state CLAIMED) and hands it back through complete()/fail(), which
+    // post it to its loop's completion queue.  state transitions are
+    // guarded by the server mutex; conn/timer fields are loop-thread-only.
     int state = QUEUED;
     uint64_t seq = 0;
     std::string index;
@@ -80,7 +91,15 @@ struct Req {
     // response (filled by complete/fail):
     int32_t status = 200;
     std::string err;                // non-empty => error response `name`
-    std::vector<uint32_t> out;      // 2*out_len + 4 packed output words
+    std::vector<uint32_t> out;      // 2*out_len + 5 packed output words
+    // v2 event-loop plumbing:
+    Conn* conn = nullptr;  // nulled when the connection died first (orphan)
+    Loop* loop = nullptr;
+    std::string gkey;      // group key it was queued under
+    bool resp_mp = false;
+    bool keep_alive = true;
+    bool has_timer = false;
+    std::multimap<Clock::time_point, Req*>::iterator timer_it;
 };
 
 struct Group {
@@ -91,7 +110,8 @@ struct Server {
     int listen_fd = -1;
     uint16_t port = 0;
     std::atomic<bool> stopping{false};
-    std::thread accept_thread;
+    std::vector<Loop*> loops;        // event loops (loop 0 also accepts)
+    std::atomic<uint64_t> next_loop{0};
     std::mutex mu;                   // guards groups, req states, counters
     std::condition_variable pump_cv; // wakes front_next waiters
     std::map<std::string, Group> groups;
@@ -567,59 +587,16 @@ const char* status_text(int code) {
 }
 
 // ------------------------------------------------------------ connection
-
-bool read_line(int fd, std::string* line, std::string* buf) {
-    // Pulls from buf/socket until CRLF; line excludes the CRLF.
-    while (true) {
-        size_t nl = buf->find('\n');
-        if (nl != std::string::npos) {
-            size_t n = nl;
-            if (n > 0 && (*buf)[n - 1] == '\r') n--;
-            line->assign(*buf, 0, n);
-            buf->erase(0, nl + 1);
-            return true;
-        }
-        char tmp[4096];
-        ssize_t r = recv(fd, tmp, sizeof(tmp), 0);
-        if (r <= 0) return false;
-        buf->append(tmp, r);
-        if (buf->size() > static_cast<size_t>(MAX_BODY)) return false;
-    }
-}
-
-bool read_n(int fd, std::string* out, size_t n, std::string* buf) {
-    while (buf->size() < n) {
-        char tmp[65536];
-        ssize_t r = recv(fd, tmp, sizeof(tmp), 0);
-        if (r <= 0) return false;
-        buf->append(tmp, r);
-    }
-    out->assign(*buf, 0, n);
-    buf->erase(0, n);
-    return true;
-}
-
-bool send_all(int fd, const char* data, size_t n) {
-    while (n > 0) {
-        ssize_t w = send(fd, data, n, MSG_NOSIGNAL);
-        if (w <= 0) return false;
-        data += w;
-        n -= static_cast<size_t>(w);
-    }
-    return true;
-}
-
-bool write_response(int fd, int status, const char* content_type,
-                    const std::string& body, bool keep_alive) {
-    char head[256];
-    int n = snprintf(head, sizeof(head),
-                     "HTTP/1.1 %d %s\r\nContent-Type: %s\r\n"
-                     "Content-Length: %zu\r\nConnection: %s\r\n\r\n",
-                     status, status_text(status), content_type, body.size(),
-                     keep_alive ? "keep-alive" : "close");
-    if (!send_all(fd, head, n)) return false;
-    return send_all(fd, body.data(), body.size());
-}
+//
+// v2: epoll event loops.  v1 detached one OS thread per connection; at
+// serving in-flight depths (thousands of keep-alive connections) the
+// scheduler cost of parking/waking a thread per request dominated the
+// request work itself, and every request paid two context switches plus a
+// global-mutex handoff.  Now a small fixed pool of event-loop threads owns
+// all sockets: requests parse incrementally from per-connection buffers,
+// queue to the pump groups, and completions post back to the owning loop
+// (eventfd wakeup) which encodes and writes the response.  Wire behavior
+// is unchanged (tests/test_native_front.py pins it byte-for-byte).
 
 std::string lower(std::string s) {
     for (char& c : s) c = static_cast<char>(tolower(static_cast<unsigned char>(c)));
@@ -643,253 +620,599 @@ Ct classify_ct(const std::string& header_value) {
     return CT_OTHER;
 }
 
-void conn_loop(Server* srv, int fd) {
-    int one = 1;
-    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-    std::string buf;
-    bool dead = false;
-    while (!dead && !srv->stopping.load(std::memory_order_relaxed)) {
-        std::string line;
-        if (!read_line(fd, &line, &buf)) break;
-        if (line.empty()) continue;
+struct Conn {
+    int fd = -1;
+    Loop* loop = nullptr;
+    std::string in;        // unparsed request bytes
+    std::string out;       // unwritten response bytes
+    size_t out_off = 0;    // prefix of `out` already written
+    bool want_close = false;  // close once `out` drains
+    Req* pending = nullptr;   // search in flight through the pump
+    uint32_t events = EPOLLIN;  // current epoll interest
+};
+
+struct Loop {
+    Server* srv = nullptr;
+    int epfd = -1;
+    int efd = -1;  // eventfd: completion / new-conn / stop wakeups
+    std::thread thread;
+    std::mutex cmu;  // guards completions, newconns, running
+    std::vector<Req*> completions;
+    std::vector<Conn*> newconns;
+    bool running = true;
+    // Loop-thread-only state:
+    std::multimap<Clock::time_point, Req*> timers;  // queued-req deadlines
+    std::unordered_set<Conn*> conns;
+    std::vector<Conn*> graveyard;  // closed this batch; freed at batch end
+};
+
+void set_nonblocking(int fd) {
+    int fl = fcntl(fd, F_GETFL, 0);
+    fcntl(fd, F_SETFL, fl | O_NONBLOCK);
+}
+
+void conn_update_events(Conn* c, uint32_t ev) {
+    if (c->events == ev) return;
+    c->events = ev;
+    epoll_event e{};
+    e.events = ev;
+    e.data.ptr = c;
+    epoll_ctl(c->loop->epfd, EPOLL_CTL_MOD, c->fd, &e);
+}
+
+// Response bytes (header format identical to v1's write_response) are
+// appended to the connection's out buffer; flush_out pushes them.
+void append_response(Conn* c, int status, const char* content_type,
+                     const std::string& body, bool keep_alive) {
+    char head[256];
+    int n = snprintf(head, sizeof(head),
+                     "HTTP/1.1 %d %s\r\nContent-Type: %s\r\n"
+                     "Content-Length: %zu\r\nConnection: %s\r\n\r\n",
+                     status, status_text(status), content_type, body.size(),
+                     keep_alive ? "keep-alive" : "close");
+    c->out.append(head, static_cast<size_t>(n));
+    c->out += body;
+    if (!keep_alive) c->want_close = true;
+}
+
+// False => the peer is gone and the conn must close.
+bool flush_out(Conn* c) {
+    while (c->out_off < c->out.size()) {
+        ssize_t w = send(c->fd, c->out.data() + c->out_off,
+                         c->out.size() - c->out_off, MSG_NOSIGNAL);
+        if (w > 0) {
+            c->out_off += static_cast<size_t>(w);
+            continue;
+        }
+        if (w < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+            conn_update_events(c, EPOLLIN | EPOLLOUT);
+            return true;
+        }
+        if (w < 0 && errno == EINTR) continue;
+        return false;
+    }
+    if (c->out_off) {
+        c->out.clear();
+        c->out_off = 0;
+    }
+    conn_update_events(c, EPOLLIN);
+    return true;
+}
+
+// Detach a dying connection from its in-flight request: a QUEUED request
+// is removed from its group and freed; a CLAIMED one is orphaned (the
+// pump still owns its token — the completion path frees it).
+void detach_pending(Conn* c) {
+    Req* r = c->pending;
+    if (r == nullptr) return;
+    c->pending = nullptr;
+    Loop* lp = c->loop;
+    if (r->has_timer) {
+        lp->timers.erase(r->timer_it);
+        r->has_timer = false;
+    }
+    Server* srv = lp->srv;
+    std::lock_guard<std::mutex> lk(srv->mu);
+    if (r->state == QUEUED) {
+        auto it = srv->groups.find(r->gkey);
+        if (it != srv->groups.end()) {
+            auto& dq = it->second.q;
+            dq.erase(std::remove(dq.begin(), dq.end(), r), dq.end());
+        }
+        delete r;
+    } else {
+        r->conn = nullptr;  // orphan: freed when the pump returns it
+    }
+}
+
+void close_conn(Conn* c) {
+    if (c->fd < 0) return;  // already closed earlier in this event batch
+    detach_pending(c);
+    epoll_ctl(c->loop->epfd, EPOLL_CTL_DEL, c->fd, nullptr);
+    close(c->fd);
+    c->fd = -1;
+    c->loop->conns.erase(c);
+    c->loop->srv->conns.fetch_add(-1);
+    // Freed at the end of the event batch: other events in the same
+    // epoll_wait return may still carry this pointer.
+    c->loop->graveyard.push_back(c);
+}
+
+// Encode + write one resolved request's response on its owning loop
+// thread, then resume parsing any pipelined bytes.  Mirrors v1's
+// post-wait logic exactly (timeout precedence, late-batch 503, count
+// clamp).
+bool parse_and_process(Conn* c);  // fwd
+
+void maybe_close_drained(Conn* c) {
+    if (c->fd >= 0 && c->want_close && c->out_off >= c->out.size())
+        close_conn(c);
+}
+
+void respond_req(Loop* lp, Req* r) {
+    Server* srv = lp->srv;
+    Conn* c = r->conn;
+    if (c == nullptr || c->fd < 0) {  // connection died first
+        delete r;
+        return;
+    }
+    const char* ct = r->resp_mp ? "application/vnd.msgpack" : "application/json";
+    if (r->state == TIMEDOUT ||
+        (r->err.empty() && r->deadline != Clock::time_point::max() &&
+         Clock::now() > r->deadline)) {
+        // Queued past the deadline, or the batch landed late: never serve
+        // results after the timeout (searcher _collect_loop semantics).
+        srv->timeouts.fetch_add(1);
+        append_response(c, 503, ct, encode_error_body("SearchTimeout", r->resp_mp),
+                        r->keep_alive);
+    } else if (!r->err.empty()) {
+        srv->errors.fetch_add(1);
+        append_response(c, r->status, ct, encode_error_body(r->err, r->resp_mp),
+                        r->keep_alive);
+    } else {
+        uint32_t out_len = r->out_bucket;
+        uint32_t count = r->out[2 * out_len];
+        if (count > out_len) count = out_len;
+        srv->responded.fetch_add(1);
+        append_response(c, 200, ct,
+                        encode_results(r->out.data(), r->out.data() + out_len,
+                                       count, r->resp_mp),
+                        r->keep_alive);
+    }
+    c->pending = nullptr;
+    delete r;
+    if (!parse_and_process(c) || !flush_out(c)) {
+        close_conn(c);
+        return;
+    }
+    maybe_close_drained(c);
+}
+
+// Routes + processes ONE fully-buffered request (the old conn_loop body).
+// Either appends an immediate response or enqueues a Req on the pump
+// groups (setting c->pending).  Returns false when the conn must close.
+bool handle_request(Conn* c, const std::string& method, std::string path,
+                    bool http10, const std::string& ct_header,
+                    const std::string& accept_header,
+                    const std::string& conn_header, const std::string& body) {
+    Server* srv = c->loop->srv;
+    bool keep_alive =
+        conn_header == "keep-alive" || (!http10 && conn_header != "close");
+
+    // Negotiation (app.py request_type/response_type).
+    Ct req_ct = ct_header.empty() ? CT_NONE : classify_ct(ct_header);
+    if (req_ct == CT_NONE) req_ct = body.empty() ? CT_JSON : CT_MSGPACK;
+    Ct acc = accept_header.empty() ? CT_NONE : classify_ct(accept_header);
+    Ct resp_ct = (acc == CT_JSON || acc == CT_MSGPACK)
+                     ? acc
+                     : (req_ct == CT_OTHER ? CT_JSON : req_ct);
+    bool resp_mp = resp_ct == CT_MSGPACK;
+    const char* resp_ct_s =
+        resp_mp ? "application/vnd.msgpack" : "application/json";
+
+    // Routes.
+    if (path == "/_health") {
+        append_response(c, 200, "text/plain", "OK\n", keep_alive);
+        return true;
+    }
+    std::string index;
+    bool is_search = false;
+    {
+        const std::string suffix = "/_search";
+        if (method == "POST" && path.size() > suffix.size() + 1 &&
+            path[0] == '/' &&
+            path.compare(path.size() - suffix.size(), suffix.size(), suffix) == 0) {
+            index = path.substr(1, path.size() - suffix.size() - 1);
+            is_search = !index.empty() && index.find('/') == std::string::npos;
+        }
+    }
+    if (!is_search) {
+        srv->errors.fetch_add(1);
+        append_response(c, 404, resp_ct_s, encode_error_body("IndexNotFound", resp_mp),
+                        keep_alive);
+        return true;
+    }
+
+    // Body decode.
+    Body b;
+    bool parsed;
+    if (req_ct == CT_OTHER) {
+        srv->errors.fetch_add(1);
+        append_response(c, 415, resp_ct_s,
+                        encode_error_body("UnsupportedMediaType", resp_mp), keep_alive);
+        return true;
+    }
+    if (body.empty()) {
+        srv->errors.fetch_add(1);
+        append_response(c, 400, resp_ct_s, encode_error_body("BadRequest", resp_mp),
+                        keep_alive);
+        return true;
+    }
+    if (req_ct == CT_JSON)
+        parsed = parse_json_body(body.data(), body.size(), &b);
+    else
+        parsed = parse_msgpack_body(
+            reinterpret_cast<const uint8_t*>(body.data()), body.size(), &b);
+    if (!parsed || b.bad || !b.have_query) {
+        srv->errors.fetch_add(1);
+        append_response(c, 400, resp_ct_s, encode_error_body("BadRequest", resp_mp),
+                        keep_alive);
+        return true;
+    }
+
+    // Sanitize (app.py handle_search) + derive min_score
+    // (multi_index.py: ceil(|raw query|/20) when unspecified).
+    int64_t raw_len = static_cast<int64_t>(b.query.size());
+    int64_t limit = std::max(std::min(b.limit, MAX_LIMIT), int64_t{1});
+    int64_t timeout_ms = std::min(b.timeout, MAX_TIMEOUT_MS);
+    int64_t min_score =
+        b.have_min_score ? std::max(b.min_score, int64_t{0}) : (raw_len + 19) / 20;
+    int64_t pct = std::max(std::min(b.score_pct, int64_t{100}), int64_t{0});
+
+    // Query prep (searcher.prepare_query): sort + dedup + cap.
+    std::sort(b.query.begin(), b.query.end());
+    b.query.erase(std::unique(b.query.begin(), b.query.end()), b.query.end());
+    if (b.query.size() > MAX_QUERY_HASHES) b.query.resize(MAX_QUERY_HASHES);
+    uint32_t q_len = static_cast<uint32_t>(b.query.size());
+
+    if (q_len == 0) {
+        srv->responded.fetch_add(1);
+        append_response(c, 200, resp_ct_s,
+                        encode_results(nullptr, nullptr, 0, resp_mp), keep_alive);
+        return true;
+    }
+
+    uint32_t bucket = QUERY_BUCKETS[4];
+    for (uint32_t cand : QUERY_BUCKETS)
+        if (cand >= q_len) { bucket = cand; break; }
+    uint32_t out_bucket = limit <= 128 ? 128 : 512;
+
+    Req* req = new Req();
+    req->index = index;
+    req->bucket = bucket;
+    req->out_bucket = out_bucket;
+    req->row.assign(bucket + 4, 0);
+    memcpy(req->row.data(), b.query.data(), q_len * 4);
+    req->row[bucket] = q_len;
+    req->row[bucket + 1] = static_cast<uint32_t>(limit);
+    req->row[bucket + 2] = static_cast<uint32_t>(min_score);
+    req->row[bucket + 3] = static_cast<uint32_t>(pct);
+    // timeout 0 = no deadline; negative = already expired (the Python
+    // path treats any non-zero timeout as a deadline, so a negative one
+    // lands in the past and answers SearchTimeout).
+    req->deadline = timeout_ms > 0 ? Clock::now() + std::chrono::milliseconds(timeout_ms)
+                    : timeout_ms == 0 ? Clock::time_point::max()
+                                      : Clock::now() - std::chrono::milliseconds(1);
+    req->conn = c;
+    req->loop = c->loop;
+    req->resp_mp = resp_mp;
+    req->keep_alive = keep_alive;
+    req->gkey = index;
+    req->gkey.push_back('\0');
+    req->gkey += std::to_string(bucket) + ":" + std::to_string(out_bucket);
+
+    c->pending = req;
+    if (req->deadline != Clock::time_point::max()) {
+        req->timer_it = c->loop->timers.emplace(req->deadline, req);
+        req->has_timer = true;
+    }
+    {
+        std::lock_guard<std::mutex> lk(srv->mu);
+        req->seq = srv->next_seq++;
+        srv->groups[req->gkey].q.push_back(req);
+        srv->accepted.fetch_add(1);
+        srv->pump_cv.notify_one();
+    }
+    return true;
+}
+
+// Consumes complete requests from c->in until one is pending on the pump,
+// the conn is closing, or the bytes run out.  Returns false on protocol
+// errors that must close the connection.
+bool parse_and_process(Conn* c) {
+    while (c->fd >= 0 && c->pending == nullptr && !c->want_close) {
+        // Header block: lines up to the first empty line (v1 read_line
+        // semantics: split on '\n', strip one trailing '\r'; blank lines
+        // before the request line are skipped).
+        size_t pos = 0;
+        size_t head_end = 0;
+        bool have_head = false;
+        std::vector<std::pair<size_t, size_t>> lines;  // (start, len)
+        while (true) {
+            size_t nl = c->in.find('\n', pos);
+            if (nl == std::string::npos) break;
+            size_t len = nl - pos;
+            if (len > 0 && c->in[pos + len - 1] == '\r') len--;
+            if (len == 0) {
+                if (lines.empty()) {  // leading blank line: skip
+                    pos = nl + 1;
+                    continue;
+                }
+                have_head = true;
+                head_end = nl + 1;
+                break;
+            }
+            lines.emplace_back(pos, len);
+            pos = nl + 1;
+        }
+        if (!have_head) {
+            // v1 capped its line buffer at MAX_BODY.
+            if (c->in.size() > static_cast<size_t>(MAX_BODY)) return false;
+            return true;  // need more bytes
+        }
+
         // Request line.
+        std::string line = c->in.substr(lines[0].first, lines[0].second);
         size_t sp1 = line.find(' ');
         size_t sp2 = line.rfind(' ');
-        if (sp1 == std::string::npos || sp2 == sp1) break;
+        if (sp1 == std::string::npos || sp2 == sp1) return false;
         std::string method = line.substr(0, sp1);
         std::string path = line.substr(sp1 + 1, sp2 - sp1 - 1);
         bool http10 = line.compare(sp2 + 1, std::string::npos, "HTTP/1.0") == 0;
         size_t qpos = path.find('?');
         if (qpos != std::string::npos) path.resize(qpos);
+
         // Headers.
         int64_t content_length = 0;
         std::string ct_header, accept_header, conn_header;
-        while (true) {
-            std::string h;
-            if (!read_line(fd, &h, &buf)) { dead = true; break; }
-            if (h.empty()) break;
-            size_t c = h.find(':');
-            if (c == std::string::npos) continue;
-            std::string k = lower(h.substr(0, c));
-            size_t v0 = h.find_first_not_of(" \t", c + 1);
+        for (size_t i = 1; i < lines.size(); i++) {
+            std::string h = c->in.substr(lines[i].first, lines[i].second);
+            size_t col = h.find(':');
+            if (col == std::string::npos) continue;
+            std::string k = lower(h.substr(0, col));
+            size_t v0 = h.find_first_not_of(" \t", col + 1);
             std::string v = v0 == std::string::npos ? "" : h.substr(v0);
             if (k == "content-length") content_length = atoll(v.c_str());
             else if (k == "content-type") ct_header = v;
             else if (k == "accept") accept_header = v;
             else if (k == "connection") conn_header = lower(v);
         }
-        if (dead) break;
-        bool keep_alive = conn_header == "keep-alive" || (!http10 && conn_header != "close");
         if (content_length < 0 || content_length > MAX_BODY) {
-            write_response(fd, 413, "application/json",
-                           encode_error_body("BadRequest", false), false);
-            break;
+            append_response(c, 413, "application/json",
+                            encode_error_body("BadRequest", false), false);
+            c->in.clear();
+            return true;  // want_close set; drains then closes
         }
-        std::string body;
-        if (content_length > 0 &&
-            !read_n(fd, &body, static_cast<size_t>(content_length), &buf))
-            break;
+        if (c->in.size() < head_end + static_cast<size_t>(content_length))
+            return true;  // body not fully buffered yet
+        std::string body = c->in.substr(head_end, static_cast<size_t>(content_length));
+        c->in.erase(0, head_end + static_cast<size_t>(content_length));
 
-        // Negotiation (app.py request_type/response_type).
-        Ct req_ct = ct_header.empty() ? CT_NONE : classify_ct(ct_header);
-        if (req_ct == CT_NONE) req_ct = body.empty() ? CT_JSON : CT_MSGPACK;
-        Ct acc = accept_header.empty() ? CT_NONE : classify_ct(accept_header);
-        Ct resp_ct = (acc == CT_JSON || acc == CT_MSGPACK)
-                         ? acc
-                         : (req_ct == CT_OTHER ? CT_JSON : req_ct);
-        bool resp_mp = resp_ct == CT_MSGPACK;
-        const char* resp_ct_s =
-            resp_mp ? "application/vnd.msgpack" : "application/json";
-
-        // Routes.
-        if (path == "/_health") {
-            if (!write_response(fd, 200, "text/plain", "OK\n", keep_alive)) break;
-            if (!keep_alive) break;
-            continue;
-        }
-        std::string index;
-        bool is_search = false;
-        {
-            const std::string suffix = "/_search";
-            if (method == "POST" && path.size() > suffix.size() + 1 &&
-                path[0] == '/' &&
-                path.compare(path.size() - suffix.size(), suffix.size(), suffix) == 0) {
-                index = path.substr(1, path.size() - suffix.size() - 1);
-                is_search = !index.empty() && index.find('/') == std::string::npos;
-            }
-        }
-        if (!is_search) {
-            srv->errors.fetch_add(1);
-            if (!write_response(fd, 404, resp_ct_s,
-                                encode_error_body("IndexNotFound", resp_mp),
-                                keep_alive))
-                break;
-            if (!keep_alive) break;
-            continue;
-        }
-
-        // Body decode.
-        Body b;
-        bool parsed;
-        if (req_ct == CT_OTHER) {
-            srv->errors.fetch_add(1);
-            if (!write_response(fd, 415, resp_ct_s,
-                                encode_error_body("UnsupportedMediaType", resp_mp),
-                                keep_alive))
-                break;
-            if (!keep_alive) break;
-            continue;
-        }
-        if (body.empty()) {
-            srv->errors.fetch_add(1);
-            if (!write_response(fd, 400, resp_ct_s,
-                                encode_error_body("BadRequest", resp_mp), keep_alive))
-                break;
-            if (!keep_alive) break;
-            continue;
-        }
-        if (req_ct == CT_JSON)
-            parsed = parse_json_body(body.data(), body.size(), &b);
-        else
-            parsed = parse_msgpack_body(
-                reinterpret_cast<const uint8_t*>(body.data()), body.size(), &b);
-        if (!parsed || b.bad || !b.have_query) {
-            srv->errors.fetch_add(1);
-            if (!write_response(fd, 400, resp_ct_s,
-                                encode_error_body("BadRequest", resp_mp), keep_alive))
-                break;
-            if (!keep_alive) break;
-            continue;
-        }
-
-        // Sanitize (app.py handle_search) + derive min_score
-        // (multi_index.py: ceil(|raw query|/20) when unspecified).
-        int64_t raw_len = static_cast<int64_t>(b.query.size());
-        int64_t limit = std::max(std::min(b.limit, MAX_LIMIT), int64_t{1});
-        int64_t timeout_ms = std::min(b.timeout, MAX_TIMEOUT_MS);
-        int64_t min_score =
-            b.have_min_score ? std::max(b.min_score, int64_t{0}) : (raw_len + 19) / 20;
-        int64_t pct = std::max(std::min(b.score_pct, int64_t{100}), int64_t{0});
-
-        // Query prep (searcher.prepare_query): sort + dedup + cap.
-        std::sort(b.query.begin(), b.query.end());
-        b.query.erase(std::unique(b.query.begin(), b.query.end()), b.query.end());
-        if (b.query.size() > MAX_QUERY_HASHES) b.query.resize(MAX_QUERY_HASHES);
-        uint32_t q_len = static_cast<uint32_t>(b.query.size());
-
-        if (q_len == 0) {
-            srv->responded.fetch_add(1);
-            if (!write_response(fd, 200, resp_ct_s,
-                                encode_results(nullptr, nullptr, 0, resp_mp),
-                                keep_alive))
-                break;
-            if (!keep_alive) break;
-            continue;
-        }
-
-        uint32_t bucket = QUERY_BUCKETS[4];
-        for (uint32_t cand : QUERY_BUCKETS)
-            if (cand >= q_len) { bucket = cand; break; }
-        uint32_t out_bucket = limit <= 128 ? 128 : 512;
-
-        Req req;
-        req.index = index;
-        req.bucket = bucket;
-        req.out_bucket = out_bucket;
-        req.row.assign(bucket + 4, 0);
-        memcpy(req.row.data(), b.query.data(), q_len * 4);
-        req.row[bucket] = q_len;
-        req.row[bucket + 1] = static_cast<uint32_t>(limit);
-        req.row[bucket + 2] = static_cast<uint32_t>(min_score);
-        req.row[bucket + 3] = static_cast<uint32_t>(pct);
-        // timeout 0 = no deadline; negative = already expired (the Python
-        // path treats any non-zero timeout as a deadline, so a negative one
-        // lands in the past and answers SearchTimeout).
-        req.deadline = timeout_ms > 0 ? Clock::now() + std::chrono::milliseconds(timeout_ms)
-                       : timeout_ms == 0 ? Clock::time_point::max()
-                                         : Clock::now() - std::chrono::milliseconds(1);
-
-        std::string gkey = index;
-        gkey.push_back('\0');
-        gkey += std::to_string(bucket) + ":" + std::to_string(out_bucket);
-
-        {
-            std::unique_lock<std::mutex> lk(srv->mu);
-            req.seq = srv->next_seq++;
-            srv->groups[gkey].q.push_back(&req);
-            srv->accepted.fetch_add(1);
-            srv->pump_cv.notify_one();
-            // Wait for completion; on deadline while still QUEUED, remove
-            // ourselves and answer SearchTimeout (the pump never saw us).
-            while (req.state == QUEUED || req.state == CLAIMED) {
-                if (req.deadline == Clock::time_point::max()) {
-                    req.cv.wait(lk);
-                } else if (req.state == QUEUED) {
-                    if (req.cv.wait_until(lk, req.deadline) == std::cv_status::timeout &&
-                        req.state == QUEUED) {
-                        auto& dq = srv->groups[gkey].q;
-                        dq.erase(std::remove(dq.begin(), dq.end(), &req), dq.end());
-                        req.state = TIMEDOUT;
-                        break;
-                    }
-                } else {
-                    // CLAIMED: the pump owns the token; it will complete or
-                    // fail it (possibly after our deadline — checked below).
-                    req.cv.wait(lk);
-                }
-            }
-        }
-
-        bool ok;
-        if (req.state == TIMEDOUT ||
-            (req.err.empty() && req.deadline != Clock::time_point::max() &&
-             Clock::now() > req.deadline)) {
-            // Queued past the deadline, or the batch landed late: never
-            // serve results after the timeout (searcher _collect_loop).
-            srv->timeouts.fetch_add(1);
-            ok = write_response(fd, 503, resp_ct_s,
-                                encode_error_body("SearchTimeout", resp_mp),
-                                keep_alive);
-        } else if (!req.err.empty()) {
-            srv->errors.fetch_add(1);
-            ok = write_response(fd, req.status, resp_ct_s,
-                                encode_error_body(req.err, resp_mp), keep_alive);
-        } else {
-            uint32_t out_len = req.out_bucket;
-            uint32_t count = req.out[2 * out_len];
-            if (count > out_len) count = out_len;
-            srv->responded.fetch_add(1);
-            ok = write_response(fd, 200, resp_ct_s,
-                                encode_results(req.out.data(),
-                                               req.out.data() + out_len, count,
-                                               resp_mp),
-                                keep_alive);
-        }
-        if (!ok || !keep_alive) break;
+        if (!handle_request(c, method, std::move(path), http10, ct_header,
+                            accept_header, conn_header, body))
+            return false;
     }
-    close(fd);
-    srv->conns.fetch_add(-1);
+    return true;
 }
 
-void accept_loop(Server* srv) {
-    while (!srv->stopping.load(std::memory_order_relaxed)) {
-        sockaddr_in peer{};
-        socklen_t plen = sizeof(peer);
-        int fd = accept(srv->listen_fd, reinterpret_cast<sockaddr*>(&peer), &plen);
-        if (fd < 0) {
-            if (srv->stopping.load(std::memory_order_relaxed)) return;
+// False => peer closed or a read error (or buffer overrun).
+bool read_into(Conn* c) {
+    char tmp[65536];
+    while (true) {
+        ssize_t r = recv(c->fd, tmp, sizeof(tmp), 0);
+        if (r > 0) {
+            c->in.append(tmp, static_cast<size_t>(r));
+            if (c->in.size() > static_cast<size_t>(MAX_BODY) + 65536) return false;
+            if (r < static_cast<ssize_t>(sizeof(tmp))) return true;
             continue;
         }
+        if (r == 0) return false;
+        if (errno == EAGAIN || errno == EWOULDBLOCK) return true;
+        if (errno == EINTR) continue;
+        return false;
+    }
+}
+
+void handle_event(Conn* c, uint32_t ev) {
+    if (c->fd < 0) return;  // closed earlier in this batch
+    if (ev & (EPOLLHUP | EPOLLERR)) {
+        close_conn(c);
+        return;
+    }
+    if (ev & EPOLLIN) {
+        if (!read_into(c) || !parse_and_process(c)) {
+            close_conn(c);
+            return;
+        }
+    }
+    if (!flush_out(c)) {
+        close_conn(c);
+        return;
+    }
+    maybe_close_drained(c);
+}
+
+void drain_completions(Loop* lp) {
+    std::vector<Req*> done;
+    std::vector<Conn*> fresh;
+    {
+        std::lock_guard<std::mutex> lk(lp->cmu);
+        done.swap(lp->completions);
+        fresh.swap(lp->newconns);
+    }
+    for (Conn* c : fresh) {
+        lp->conns.insert(c);
+        epoll_event e{};
+        e.events = c->events;
+        e.data.ptr = c;
+        epoll_ctl(lp->epfd, EPOLL_CTL_ADD, c->fd, &e);
+    }
+    for (Req* r : done) {
+        if (r->has_timer) {
+            lp->timers.erase(r->timer_it);
+            r->has_timer = false;
+        }
+        respond_req(lp, r);
+    }
+}
+
+void fire_timers(Loop* lp) {
+    Server* srv = lp->srv;
+    auto now = Clock::now();
+    while (!lp->timers.empty() && lp->timers.begin()->first <= now) {
+        Req* r = lp->timers.begin()->second;
+        lp->timers.erase(lp->timers.begin());
+        r->has_timer = false;
+        bool expired = false;
+        {
+            std::lock_guard<std::mutex> lk(srv->mu);
+            if (r->state == QUEUED) {
+                // Deadline passed while still queued: remove ourselves and
+                // answer SearchTimeout (the pump never saw this request).
+                auto it = srv->groups.find(r->gkey);
+                if (it != srv->groups.end()) {
+                    auto& dq = it->second.q;
+                    dq.erase(std::remove(dq.begin(), dq.end(), r), dq.end());
+                }
+                r->state = TIMEDOUT;
+                expired = true;
+            }
+            // CLAIMED: the pump owns the token; the completion path
+            // answers 503 if it lands past the deadline.
+        }
+        if (expired) respond_req(lp, r);
+    }
+}
+
+void do_accept(Loop* lp) {
+    Server* srv = lp->srv;
+    while (true) {
+        int fd = accept4(srv->listen_fd, nullptr, nullptr, SOCK_NONBLOCK);
+        if (fd < 0) return;  // EAGAIN / stopping
         if (srv->conns.load() >= srv->max_conns) {
             const char* msg =
                 "HTTP/1.1 503 Service Unavailable\r\nContent-Length: 0\r\n"
                 "Connection: close\r\n\r\n";
-            send_all(fd, msg, strlen(msg));
+            ssize_t ignored = send(fd, msg, strlen(msg), MSG_NOSIGNAL);
+            (void)ignored;
             close(fd);
             continue;
         }
+        int one = 1;
+        setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
         srv->conns.fetch_add(1);
-        std::thread(conn_loop, srv, fd).detach();
+        Loop* target =
+            srv->loops[srv->next_loop.fetch_add(1) % srv->loops.size()];
+        Conn* c = new Conn();
+        c->fd = fd;
+        c->loop = target;
+        if (target == lp) {
+            lp->conns.insert(c);
+            epoll_event e{};
+            e.events = c->events;
+            e.data.ptr = c;
+            epoll_ctl(lp->epfd, EPOLL_CTL_ADD, fd, &e);
+        } else {
+            // Hand off through the target's mailbox; it adds the fd to its
+            // own epoll (single-threaded ownership of all conn state).
+            bool wake = false;
+            {
+                std::lock_guard<std::mutex> lk(target->cmu);
+                if (target->running) {
+                    target->newconns.push_back(c);
+                    wake = true;
+                }
+            }
+            if (wake) {
+                uint64_t onev = 1;
+                ssize_t ignored = write(target->efd, &onev, sizeof(onev));
+                (void)ignored;
+            } else {
+                close(fd);
+                srv->conns.fetch_add(-1);
+                delete c;
+            }
+        }
+    }
+}
+
+void loop_run(Loop* lp, bool is_acceptor) {
+    Server* srv = lp->srv;
+    epoll_event evs[256];
+    while (!srv->stopping.load(std::memory_order_relaxed)) {
+        int timeout_ms = 200;
+        if (!lp->timers.empty()) {
+            auto dt = std::chrono::duration_cast<std::chrono::milliseconds>(
+                          lp->timers.begin()->first - Clock::now())
+                          .count();
+            timeout_ms = dt <= 0 ? 0 : static_cast<int>(std::min<int64_t>(dt + 1, 200));
+        }
+        int n = epoll_wait(lp->epfd, evs, 256, timeout_ms);
+        for (int i = 0; i < n; i++) {
+            void* p = evs[i].data.ptr;
+            if (p == nullptr) {  // eventfd wakeup
+                uint64_t x;
+                ssize_t ignored = read(lp->efd, &x, sizeof(x));
+                (void)ignored;
+                drain_completions(lp);
+            } else if (p == reinterpret_cast<void*>(1)) {  // listen socket
+                if (is_acceptor) do_accept(lp);
+            } else {
+                handle_event(static_cast<Conn*>(p), evs[i].events);
+            }
+        }
+        drain_completions(lp);  // eventfd writes coalesce; drain every pass
+        fire_timers(lp);
+        for (Conn* c : lp->graveyard) delete c;
+        lp->graveyard.clear();
+    }
+    // Shutdown: answer whatever completions are already posted (stop()
+    // fails all queued requests and posts them here), then drop the rest.
+    {
+        std::lock_guard<std::mutex> lk(lp->cmu);
+        lp->running = false;
+    }
+    drain_completions(lp);
+    for (Conn* c : lp->graveyard) delete c;
+    lp->graveyard.clear();
+    std::vector<Conn*> remaining(lp->conns.begin(), lp->conns.end());
+    for (Conn* c : remaining) {
+        flush_out(c);  // best effort
+        close_conn(c);
+    }
+    for (Conn* c : lp->graveyard) delete c;
+    lp->graveyard.clear();
+    close(lp->epfd);
+    close(lp->efd);
+}
+
+// Hand a resolved request back to its owning loop (complete/fail/stop
+// callers).  After the loop has exited (`running` false) the request is
+// leaked — same teardown policy as the leaked Server (see front_stop).
+void post_completion(Req* r) {
+    Loop* lp = r->loop;
+    bool wake = false;
+    {
+        std::lock_guard<std::mutex> lk(lp->cmu);
+        if (lp->running) {
+            lp->completions.push_back(r);
+            wake = true;
+        }
+    }
+    if (wake) {
+        uint64_t onev = 1;
+        ssize_t ignored = write(lp->efd, &onev, sizeof(onev));
+        (void)ignored;
     }
 }
 
@@ -919,7 +1242,34 @@ int64_t aitpu_front_start(int32_t port, int32_t max_conns) {
     socklen_t blen = sizeof(bound);
     getsockname(srv->listen_fd, reinterpret_cast<sockaddr*>(&bound), &blen);
     srv->port = ntohs(bound.sin_port);  // resolves port 0 to the real port
-    srv->accept_thread = std::thread(accept_loop, srv);
+    set_nonblocking(srv->listen_fd);
+
+    // Event loops: enough to spread parse/encode across cores without
+    // burning threads the host doesn't have (IO work per request is a few
+    // µs; one loop saturates well past 100k req/s).
+    unsigned hw = std::thread::hardware_concurrency();
+    unsigned n_loops = std::min(4u, std::max(1u, hw / 2));
+    for (unsigned i = 0; i < n_loops; i++) {
+        auto* lp = new Loop();
+        lp->srv = srv;
+        lp->epfd = epoll_create1(0);
+        lp->efd = eventfd(0, EFD_NONBLOCK);
+        epoll_event we{};
+        we.events = EPOLLIN;
+        we.data.ptr = nullptr;  // eventfd sentinel
+        epoll_ctl(lp->epfd, EPOLL_CTL_ADD, lp->efd, &we);
+        if (i == 0) {
+            epoll_event le{};
+            le.events = EPOLLIN;
+            le.data.ptr = reinterpret_cast<void*>(1);  // listen sentinel
+            epoll_ctl(lp->epfd, EPOLL_CTL_ADD, srv->listen_fd, &le);
+        }
+        srv->loops.push_back(lp);
+    }
+    for (unsigned i = 0; i < n_loops; i++) {
+        Loop* lp = srv->loops[i];
+        lp->thread = std::thread(loop_run, lp, i == 0);
+    }
     return reinterpret_cast<int64_t>(srv);
 }
 
@@ -977,13 +1327,16 @@ int64_t aitpu_front_complete(int64_t handle, const uint64_t* tokens,
                              const uint32_t* out_rows, int64_t n,
                              int64_t out_words) {
     auto* srv = reinterpret_cast<Server*>(handle);
-    std::lock_guard<std::mutex> lk(srv->mu);
-    for (int64_t i = 0; i < n; i++) {
-        Req* r = reinterpret_cast<Req*>(tokens[i]);
-        r->out.assign(out_rows + i * out_words, out_rows + (i + 1) * out_words);
-        r->state = DONE;
-        r->cv.notify_one();
+    {
+        std::lock_guard<std::mutex> lk(srv->mu);
+        for (int64_t i = 0; i < n; i++) {
+            Req* r = reinterpret_cast<Req*>(tokens[i]);
+            r->out.assign(out_rows + i * out_words, out_rows + (i + 1) * out_words);
+            r->state = DONE;
+        }
     }
+    for (int64_t i = 0; i < n; i++)
+        post_completion(reinterpret_cast<Req*>(tokens[i]));
     return 0;
 }
 
@@ -991,14 +1344,17 @@ int64_t aitpu_front_complete(int64_t handle, const uint64_t* tokens,
 int64_t aitpu_front_fail(int64_t handle, const uint64_t* tokens, int64_t n,
                          int32_t status, const char* error_name) {
     auto* srv = reinterpret_cast<Server*>(handle);
-    std::lock_guard<std::mutex> lk(srv->mu);
-    for (int64_t i = 0; i < n; i++) {
-        Req* r = reinterpret_cast<Req*>(tokens[i]);
-        r->status = status;
-        r->err = error_name;
-        r->state = DONE;
-        r->cv.notify_one();
+    {
+        std::lock_guard<std::mutex> lk(srv->mu);
+        for (int64_t i = 0; i < n; i++) {
+            Req* r = reinterpret_cast<Req*>(tokens[i]);
+            r->status = status;
+            r->err = error_name;
+            r->state = DONE;
+        }
     }
+    for (int64_t i = 0; i < n; i++)
+        post_completion(reinterpret_cast<Req*>(tokens[i]));
     return 0;
 }
 
@@ -1017,12 +1373,14 @@ int64_t aitpu_front_stat(int64_t handle, int32_t which) {
     }
 }
 
-// Stops accepting, fails queued requests, waits for conns to drain (bounded).
+// Stops accepting, fails queued requests (the loops best-effort answer
+// them with 503 before exiting), joins the event loops.
 int64_t aitpu_front_stop(int64_t handle) {
     auto* srv = reinterpret_cast<Server*>(handle);
     srv->stopping.store(true);
     shutdown(srv->listen_fd, SHUT_RDWR);
     close(srv->listen_fd);
+    std::vector<Req*> failed;
     {
         std::lock_guard<std::mutex> lk(srv->mu);
         for (auto& kv : srv->groups) {
@@ -1030,22 +1388,26 @@ int64_t aitpu_front_stop(int64_t handle) {
                 r->status = 503;
                 r->err = "IndexNotReady";
                 r->state = DONE;
-                r->cv.notify_one();
+                failed.push_back(r);
             }
             kv.second.q.clear();
         }
         srv->pump_cv.notify_all();
     }
-    if (srv->accept_thread.joinable()) srv->accept_thread.join();
-    // Claimed requests still belong to the pump; give conns a moment.
-    for (int i = 0; i < 100 && srv->conns.load() > 0; i++)
-        std::this_thread::sleep_for(std::chrono::milliseconds(20));
-    // srv is deliberately leaked: a pump thread may still be parked inside
-    // aitpu_front_next (pump_cv.wait_until) or about to call complete/fail
-    // for an in-flight batch, and there is no handshake that proves all
-    // callers have drained — freeing here was a measured use-after-free
-    // (corrupted-exception abort at exit).  One ~100KB Server per
-    // start/stop cycle, process-lifetime bounded.
+    for (Req* r : failed) post_completion(r);
+    for (Loop* lp : srv->loops) {
+        uint64_t onev = 1;
+        ssize_t ignored = write(lp->efd, &onev, sizeof(onev));
+        (void)ignored;
+    }
+    for (Loop* lp : srv->loops)
+        if (lp->thread.joinable()) lp->thread.join();
+    // srv (and its loops) are deliberately leaked: a pump thread may still
+    // be parked inside aitpu_front_next (pump_cv.wait_until) or about to
+    // call complete/fail for an in-flight batch, and there is no handshake
+    // that proves all callers have drained — freeing here was a measured
+    // use-after-free (corrupted-exception abort at exit).  One ~100KB
+    // Server per start/stop cycle, process-lifetime bounded.
     return 0;
 }
 

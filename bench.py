@@ -530,6 +530,17 @@ def e2e_bench(jax):
             native_ho = e2e_native(mi, rng, stub_device=True, tag="e2e_native_hostonly")
             log(
                 f"native host-only {native_ho.get('e2e_native_hostonly_qps', 0):.0f} qps; "
+                "measuring python-HTTP host-only control"
+            )
+            # Apples-to-apples control for the native front: the SAME socket
+            # load served by the pure-Python HTTP server with the device
+            # stubbed.  (e2e_hostonly_qps is in-process — no sockets — so it
+            # cannot be compared against any socket-serving number.)
+            pyhttp_ho = e2e_native(
+                mi, rng, stub_device=True, tag="e2e_pyhttp_hostonly", server="pyhttp"
+            )
+            log(
+                f"python-HTTP host-only {pyhttp_ho.get('e2e_pyhttp_hostonly_qps', 0):.0f} qps; "
                 "measuring host-only ceiling"
             )
             host_only = e2e_host_only(idx, options, rng)
@@ -543,7 +554,10 @@ def e2e_bench(jax):
                 "measuring mixed read/write phase"
             )
             rw = e2e_read_write(idx, options, rng)
-            return {**closed, **open_loop, **native, **native_ho, **host_only, **http_ing, **rw}
+            return {
+                **closed, **open_loop, **native, **native_ho, **pyhttp_ho,
+                **host_only, **http_ing, **rw,
+            }
         finally:
             mi._release_ref(ref)
             mi.close()
@@ -554,12 +568,35 @@ NATIVE_PROCS = int(os.environ.get("AITPU_BENCH_NATIVE_PROCS", 6))
 NATIVE_CONNS = int(os.environ.get("AITPU_BENCH_NATIVE_CONNS", 384))
 
 
-def e2e_native(mi, rng, stub_device=False, tag="e2e_native", conns=None):
+def loadgen_cmd(port, seconds, conns, blob_path, seed):
+    """Client command for one load process: the C++ epoll generator when
+    built (order-of-magnitude cheaper per request — on this 1-core box the
+    Python clients otherwise cost more CPU than the server under test),
+    else the Python selector client."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cxx = os.path.join(repo, "acoustid_index_tpu", "native", "aitpu_loadgen")
+    base = (
+        [cxx]
+        if os.path.exists(cxx)
+        else [sys.executable, os.path.join(repo, "bench_client.py")]
+    )
+    return base + [
+        "--port", str(port), "--seconds", str(seconds),
+        "--conns", str(conns), "--blobs", blob_path, "--seed", str(seed),
+    ]
+
+
+def e2e_native(mi, rng, stub_device=False, tag="e2e_native", conns=None, server="native"):
     """Open-loop HTTP load through the native C++ front end: bytes on real
     sockets -> aitpu_front batches -> device -> encoded responses.  Load
-    comes from separate bench_client.py PROCESSES (selectors over hundreds
-    of keep-alive connections each) so generation never shares the GIL with
+    comes from separate client PROCESSES (C++ epoll loadgen when built,
+    else bench_client.py selectors) so generation never shares the GIL with
     the pumps; total in-flight = NATIVE_PROCS * conns.
+
+    server="pyhttp" serves the SAME socket load from the pure-Python HTTP
+    server (server/http.py + app.py) instead — the apples-to-apples control
+    for the native front (e2e_hostonly_qps is measured in-process with no
+    sockets, so it is NOT comparable to any socket-serving number).
 
     stub_device=True replaces the searcher's _launch with canned packed
     outputs (exactly e2e_host_only's trick): the measured number is the C++
@@ -575,7 +612,7 @@ def e2e_native(mi, rng, stub_device=False, tag="e2e_native", conns=None):
     from acoustid_index_tpu.server.native_front import NativeFront
     from acoustid_index_tpu.utils.native import front_lib
 
-    if front_lib() is None:
+    if server == "native" and front_lib() is None:
         return {f"{tag}_error": "no C++ toolchain"}
     conns = NATIVE_CONNS if conns is None else conns
     restore_launch = None
@@ -611,8 +648,24 @@ def e2e_native(mi, rng, stub_device=False, tag="e2e_native", conns=None):
             restore_launch = (searcher, real_launch)
         finally:
             mi._release_ref(ref)
-    front = NativeFront(mi, 0, pumps=NATIVE_PUMPS, max_conns=2 * NATIVE_PROCS * conns)
-    front.start()
+    if server == "native":
+        front = NativeFront(mi, 0, pumps=NATIVE_PUMPS, max_conns=2 * NATIVE_PROCS * conns)
+        front.start()
+        port = front.port
+        stop_server = front.stop
+    else:
+        from acoustid_index_tpu.server.app import App
+        from acoustid_index_tpu.server.http import HttpServer
+
+        app = App(mi)
+        pysrv = HttpServer("127.0.0.1", 0, app.router, app.error_response, app.not_found)
+        pythread = pysrv.serve_background()
+        port = pysrv.server_address[1]
+
+        def stop_server():
+            pysrv.shutdown()
+            pythread.join(timeout=10)
+
     blob_path = None
     try:
         # Pre-encoded request blobs (same query mix as e2e_open_loop) plus
@@ -637,18 +690,9 @@ def e2e_native(mi, rng, stub_device=False, tag="e2e_native", conns=None):
             blob_path = f.name
             f.write(msgpack.packb(blobs))
 
-        repo = os.path.dirname(os.path.abspath(__file__))
         procs = [
             subprocess.Popen(
-                [
-                    sys.executable,
-                    os.path.join(repo, "bench_client.py"),
-                    "--port", str(front.port),
-                    "--seconds", str(E2E_SECONDS),
-                    "--conns", str(conns),
-                    "--blobs", blob_path,
-                    "--seed", str(100 + k),
-                ],
+                loadgen_cmd(port, E2E_SECONDS, conns, blob_path, 100 + k),
                 stdout=subprocess.PIPE,
             )
             for k in range(NATIVE_PROCS)
@@ -675,7 +719,7 @@ def e2e_native(mi, rng, stub_device=False, tag="e2e_native", conns=None):
             out[f"{tag}_miss_rate"] = sum(o["miss"] for o in outs) / max(total, 1)
         return out
     finally:
-        front.stop()
+        stop_server()
         if restore_launch is not None:
             restore_launch[0]._launch = restore_launch[1]
         if blob_path:
@@ -1126,6 +1170,7 @@ def main():
         "sharded_qps_mesh1", "sharded_qps_mesh1_error", "sharded_overhead_x",
         "parity_gate", "self_retrieval_hit_rate", "n_docs",
         "e2e_pipeline_qps", "e2e_hostonly_qps", "e2e_native_hostonly_qps",
+        "e2e_pyhttp_hostonly_qps",
         "e2e_native_qps", "e2e_rw_qps", "e2e_rw_device_qps", "e2e_rw_segments",
         "e2e_http_ingest_docs_per_s", "e2e_p50_ms", "e2e_p99_ms", "device",
     ]

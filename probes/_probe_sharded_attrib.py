@@ -470,6 +470,76 @@ def main():
             None,
         )
 
+    def condcand_fn(qs2, tiers):
+        """cond wrapping ONLY _direct_candidates (rows/covered cross the
+        conditional boundary): is the emit-consuming stage the poison?"""
+        from acoustid_index_tpu.ops.search_kernel import _direct_candidates
+
+        (f_search, m_search, B, f_lo, f_cnt, m_lo, m_cnt, rows, covered,
+         direct_ok) = _cond_common(qs2, tiers)
+        E = 2 if params.query_len <= 128 else 1
+
+        def a(_):
+            d, inv, tot = _direct_candidates(params, f_search, rows, covered, f_lo, f_cnt, E)
+            return jnp.sum(d.astype(jnp.uint32)) + jnp.sum(tot.astype(jnp.uint32))
+
+        def b(_):
+            return jnp.sum(f_lo.astype(jnp.uint32))
+
+        return jax.lax.cond(direct_ok, a, b, None)
+
+    def condtail_fn(qs2, tiers):
+        """_direct_candidates OUTSIDE; cond wraps only scoring + select."""
+        from acoustid_index_tpu.ops.search_kernel import (
+            _batch_newest,
+            _direct_candidates,
+            _final_select_matrix,
+            _score_matrix,
+        )
+
+        (f_search, m_search, B, f_lo, f_cnt, m_lo, m_cnt, rows, covered,
+         direct_ok) = _cond_common(qs2, tiers)
+        E = 2 if params.query_len <= 128 else 1
+        d, inv, totals = _direct_candidates(params, f_search, rows, covered, f_lo, f_cnt, E)
+        o = jnp.zeros(d.shape, jnp.int32)
+
+        def a(_):
+            win, score, cand = jax.vmap(
+                lambda d1, o1, i1, ms: _score_matrix(params, d1, o1, i1, ms)
+            )(d, o, inv, minsc_j)
+            newest = _batch_newest(m_search, d.reshape(-1), cand.reshape(-1)).reshape(d.shape)
+            out = jax.vmap(
+                lambda d1, s1, w1, c1, n1, l1, ms1, p1: _final_select_matrix(
+                    params, d1, s1, w1, c1, n1, l1, ms1, p1
+                )
+            )(d, score, win, cand, newest, jnp.asarray(limits), minsc_j, jnp.asarray(pcts))
+            return jnp.sum(out["ids"].astype(jnp.uint32))
+
+        def b(_):
+            return jnp.sum(d.astype(jnp.uint32))
+
+        return jax.lax.cond(direct_ok, a, b, None)
+
+    def condranges_fn(qs2, tiers):
+        """EMITTING ranges themselves inside a cond (both branches run the
+        same emit lookup): does the Pallas emit kernel slow inside a
+        conditional?"""
+        def a(_):
+            f_search, m_search = squeeze(tiers)
+            f_lo, f_cnt, m_lo, m_cnt, tr, emit_info = _batch_ranges(
+                params, f_search, m_search, qs2, lens_j, want_emit=True
+            )
+            rows, covered = emit_info
+            return (jnp.sum(f_cnt.astype(jnp.uint32))
+                    + jnp.sum(rows[:, 0, 0].astype(jnp.uint32))
+                    + jnp.sum(covered.astype(jnp.uint32)))
+
+        def b(_):
+            return jnp.uint32(0)
+
+        pred = jnp.sum(qs2) != jnp.uint32(1)
+        return jax.lax.cond(pred, a, b, None)
+
     def condsame_fn(qs2, tiers):
         """Same cond with the direct branch on BOTH sides: separates cond
         operand-tuple overhead from the presence of the gather branch."""
@@ -610,7 +680,9 @@ def main():
                      ("single", single_fn), ("direct", direct_fn),
                      ("rangese", rangese_fn), ("dcand", dcand_fn),
                      ("directm", directm_fn), ("base", base_fn),
-                     ("cond2", cond2_fn), ("condsame", condsame_fn)):
+                     ("cond2", cond2_fn), ("condsame", condsame_fn),
+                     ("condcand", condcand_fn), ("condtail", condtail_fn),
+                     ("condranges", condranges_fn)):
         if name not in names:
             continue
         t0 = time.time()

@@ -98,10 +98,10 @@ def lookup_wave_mm(hashes2d, blk, queries, g=64, nbuf=4):
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((g, g * ROWS), lambda b, q: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((g, g * ROWS), lambda i, b, q: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((n_w, g), lambda b, q: (0, 0))],
+        out_specs=[pl.BlockSpec((n_w, g), lambda i, b, q: (0, 0))],
         scratch_shapes=[
             pltpu.VMEM((nbuf, g * ROWS, 128), jnp.uint32),
             pltpu.VMEM((g * ROWS, 128), jnp.float32),
