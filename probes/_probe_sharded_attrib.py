@@ -40,7 +40,7 @@ from acoustid_index_tpu.parallel.sharded import (
     sharded_search_batch,
 )
 
-N_DOCS = 10_000_000
+N_DOCS = int(_os.environ.get("ATTRIB_DOCS", 10_000_000))
 K = 24
 BATCH = 256
 
@@ -84,7 +84,7 @@ def main():
     import dataclasses
 
     t0 = time.time()
-    cache = "/tmp/aitpu_seg10m.npz"  # shared with _probe_sharded_bisect
+    cache = f"/tmp/aitpu_seg10m.npz" if N_DOCS == 10_000_000 else f"/tmp/aitpu_seg_{N_DOCS}.npz"  # 10M path shared with _probe_sharded_bisect
     if _os.path.exists(cache):
         from acoustid_index_tpu.engine.memseg import Segment
 
