@@ -961,6 +961,33 @@ def e2e_read_write(idx, options, rng):
             BATCH,
         )
         log(f"rw device slope {rw_dev['e2e_rw_device_qps']:.0f} qps (S={snap.num_segments()})")
+
+        # Same-corpus S=1 control: merge the final snapshot into ONE segment,
+        # pack it as a lone file tier, and measure the SAME queries on it.
+        # e2e_rw_device_overhead_x is then the true device cost of serving
+        # the write-heavy state — comparing the S>1 slope against the 10M
+        # single-segment headline (as round 4 invited) conflates corpus
+        # size, tier mix, and query shape and read as a spurious ~3x.
+        from acoustid_index_tpu.engine.device_merge import merge_segments_auto
+
+        one = merge_segments_auto(list(snap.file) + list(snap.memory), snap)
+        ft1 = idx.searcher.pack_file_tier([one])
+        mt1 = idx.searcher.pack_mem_tier([])
+        rw_dev["e2e_rw_device_qps_s1"] = device_qps_fori(
+            jax,
+            params,
+            tier_view_for_search(ft1, mentions=False),
+            tier_view_for_search(mt1),
+            pin,
+            BATCH,
+        )
+        rw_dev["e2e_rw_device_overhead_x"] = (
+            rw_dev["e2e_rw_device_qps_s1"] / max(rw_dev["e2e_rw_device_qps"], 1e-9)
+        )
+        log(
+            f"rw S=1 control {rw_dev['e2e_rw_device_qps_s1']:.0f} qps -> "
+            f"S={snap.num_segments()} costs {rw_dev['e2e_rw_device_overhead_x']:.2f}x"
+        )
     except Exception as exc:  # noqa: BLE001 — keep the bench line on failure
         rw_dev["e2e_rw_device_qps_error"] = f"{type(exc).__name__}: {exc}"[:160]
 
@@ -1171,7 +1198,8 @@ def main():
         "parity_gate", "self_retrieval_hit_rate", "n_docs",
         "e2e_pipeline_qps", "e2e_hostonly_qps", "e2e_native_hostonly_qps",
         "e2e_pyhttp_hostonly_qps",
-        "e2e_native_qps", "e2e_rw_qps", "e2e_rw_device_qps", "e2e_rw_segments",
+        "e2e_native_qps", "e2e_rw_qps", "e2e_rw_device_qps", "e2e_rw_device_qps_s1",
+        "e2e_rw_device_overhead_x", "e2e_rw_segments",
         "e2e_http_ingest_docs_per_s", "e2e_p50_ms", "e2e_p99_ms", "device",
     ]
     headline = {kk: detail[kk] for kk in headline_keys if kk in detail}
