@@ -9,9 +9,14 @@ only STORES its compare mask into a (g*ROWS, 128) scratch (1 vector store),
 and the whole wave reduces with two f32 matmuls:
 
     rowsum (g*ROWS, 1) = mask @ ones(128, 1)         # cross-lane on MXU
-    comp   (g, 1)      = onehot_bands @ rowsum       # band sums on MXU
+    comp   (g,)        = rowsum.reshape(g, ROWS).sum(axis=1)  # band sums, VPU
 
-Values stay exact in f32: lt + 4096*eq <= 1024 + 4096*1024 < 2^24.
+Values stay exact: mask elements are {0, 1, 4096} (all bf16-exact, so the
+MXU matmul is exact even at DEFAULT precision — accumulation is f32 and
+totals stay < 2^24); the band sum runs in int32 on the VPU.  An earlier
+variant did the band sum as a second matmul (onehot_bands @ rowsum) and
+FAILED parity: rowsum values like 4196 are not bf16-representable, and
+TPU DEFAULT-precision f32 matmuls truncate their inputs to bf16.
 comp lands in a VMEM (n_waves, g) output row (no SMEM scalar stores).
 
 Run on the TPU session:  python -u probes/_probe_wavemm.py [g64 g128 prod]
@@ -38,7 +43,7 @@ def lookup_wave_mm(hashes2d, blk, queries, g=64, nbuf=4):
     Lc = queries.shape[0]
     n_w = Lc // g
 
-    def kernel(blk_ref, q_ref, hbm_ref, oh_ref, comp_ref, scratch, mask_s, sems):
+    def kernel(blk_ref, q_ref, hbm_ref, comp_ref, scratch, mask_s, sems):
         def start(w):
             slot = jax.lax.rem(w, nbuf)
             for k in range(g):
@@ -69,11 +74,9 @@ def lookup_wave_mm(hashes2d, blk, queries, g=64, nbuf=4):
                 mask_s[...],
                 jnp.ones((128, 1), jnp.float32),
                 preferred_element_type=jnp.float32,
-            )  # (g*ROWS, 1)
-            comp = jnp.dot(
-                oh_ref[...], rowsum, preferred_element_type=jnp.float32
-            )  # (g, 1)
-            comp_ref[w, :] = comp[:, 0].astype(jnp.int32)
+            )  # (g*ROWS, 1); exact: inputs {0,1,4096} are bf16-exact, acc f32
+            comp = rowsum.astype(jnp.int32).reshape(g, ROWS).sum(axis=1)  # (g,)
+            comp_ref[w, :] = comp
 
         for w in range(min(nbuf, n_w)):
             start(w)
@@ -89,17 +92,11 @@ def lookup_wave_mm(hashes2d, blk, queries, g=64, nbuf=4):
 
         jax.lax.fori_loop(0, n_w, body, 0)
 
-    # Band one-hot reducer, passed as a VMEM operand (constant index map).
-    oh = (np.arange(g)[:, None] == (np.arange(g * ROWS) // ROWS)[None, :]).astype(
-        np.float32
-    )
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((g, g * ROWS), lambda i, b, q: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((n_w, g), lambda i, b, q: (0, 0))],
         scratch_shapes=[
@@ -112,7 +109,7 @@ def lookup_wave_mm(hashes2d, blk, queries, g=64, nbuf=4):
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n_w, g), jnp.int32),),
-    )(blk, queries, hashes2d, jnp.asarray(oh))[0]
+    )(blk, queries, hashes2d)[0]
     return comp.reshape(-1)
 
 

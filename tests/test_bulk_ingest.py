@@ -234,7 +234,7 @@ def test_http_bulk_route(tmp_path):
         # SIGKILL: the bulk frame must replay from the WAL on restart.
         s.restart(hard=True)
         r = requests.post(s.url("/bulk1/_search"),
-                          json={"query": hashes[0].tolist(), "limit": 3, "timeout": 10000})
+                          json={"query": hashes[0].tolist(), "limit": 3, "timeout": 30000})
         assert r.status_code == 200, r.text
         assert r.json()["results"][0]["id"] == 1
     finally:
