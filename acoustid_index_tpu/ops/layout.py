@@ -99,18 +99,33 @@ def docid_index(idx):
 
 
 def _inter_gather(inter, idx, payload: bool):
-    """Gather from the interleaved array via a (free) 2-D reshape: a FLAT
-    index into a >=2^31-entry array needs int64 indexing, which jax
-    silently truncates to int32 without x64 — positions past 2^31 wrapped
-    NEGATIVE, corrupting reads of the final blocks at exactly 2^30 packed
-    postings (= the 134M bench corpus).  Row/column indices stay far below
-    2^31 at any realizable capacity."""
+    """Gather from the interleaved array via a 2-D reshape: a FLAT index
+    into a >=2^31-entry array needs int64 indexing, which jax silently
+    truncates to int32 without x64 — positions past 2^31 wrapped NEGATIVE,
+    corrupting reads of the final blocks at exactly 2^30 packed postings
+    (= the 134M bench corpus).  Row/column indices stay far below 2^31 at
+    any realizable capacity.
+
+    The view MUST be 128 wide: u32[N] -> u32[N/128, 128] matches the TPU's
+    native (8,128)/T(1024) tiling, so XLA lowers the reshape to a bitcast
+    even inside cond branches (the Pallas kernels use the same view,
+    ops/pallas_lookup.py).  The previous (-1, 2*BLOCK) view tiled
+    DIFFERENTLY from the 1-D argument, and under the serving cascade's
+    nested lax.cond XLA materialized it as a full-table HLO temp — an 8GB
+    copy that made the 134M program exceed v5e HBM at compile time
+    (BENCH r5: "Used 16.01G of 15.75G hbm", reshape at search_kernel's
+    cond cascade)."""
     import jax.numpy as jnp
 
     idx = idx.astype(jnp.uint32)
-    rows = (idx >> _BLOCK_SHIFT).astype(jnp.int32)
-    cols = ((idx & (BLOCK - 1)) + (BLOCK if payload else 0)).astype(jnp.int32)
-    return inter.reshape(-1, 2 * BLOCK)[rows, cols]
+    ipos = (
+        ((idx >> _BLOCK_SHIFT) << (_BLOCK_SHIFT + 1))
+        + jnp.uint32(BLOCK if payload else 0)
+        + (idx & (BLOCK - 1))
+    )
+    rows = (ipos >> 7).astype(jnp.int32)  # < 2^25 at any realizable cap
+    cols = (ipos & 127).astype(jnp.int32)
+    return inter.reshape(-1, 128)[rows, cols]
 
 
 def hash_gather(tier, idx):

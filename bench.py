@@ -1127,6 +1127,16 @@ def main():
             m134 = {"qps_134M_error": f"{type(exc).__name__}: {exc}"[:200]}
             log(f"134M bench failed: {exc}")
         gc.collect()  # drop the 134M tables before the 10M phase allocates
+        # Belt and braces: bench_100m deletes its tiers in a finally, but a
+        # traceback chain pinning any other big device buffer between
+        # phases would OOM the 10M phase at runtime (observed r5).  No
+        # array >=256MB may legitimately survive a phase boundary here.
+        try:
+            for arr in jax.live_arrays():
+                if getattr(arr, "nbytes", 0) >= (1 << 28):
+                    arr.delete()
+        except Exception:
+            pass
 
     k = kernel_bench(jax, jnp)
     log(f"kernel bench: {k['qps']:.0f} qps")

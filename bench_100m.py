@@ -154,6 +154,32 @@ def run(jax, jnp) -> dict:
     }
     build_s = time.time() - t0
 
+    try:
+        return _measure(jax, jnp, dev, rng, file_tier, mem_tier, build_s)
+    finally:
+        # Deterministic HBM release for the later bench phases: an exception
+        # raised here (e.g. a tunnel-dropped compile) keeps this frame alive
+        # through the caller's handler via the traceback chain, so the
+        # ~9.1GB corpus would survive bench.py's gc.collect() and OOM the
+        # 10M phase at RUNTIME (observed r5: "kernel table built" then
+        # RESOURCE_EXHAUSTED at the first search).
+        for v in list(file_tier.values()) + list(mem_tier.values()):
+            if hasattr(v, "delete"):
+                try:
+                    v.delete()
+                except Exception:
+                    pass
+
+
+def _measure(jax, jnp, dev, rng, file_tier, mem_tier, build_s) -> dict:
+    n_postings = N_DOCS * HASHES_PER_DOC
+    from acoustid_index_tpu.ops.search_kernel import (
+        SearchParams,
+        pack_inputs_np,
+        search_segments_batch,
+        search_segments_batch_packed_io,
+    )
+
     params = SearchParams(query_len=QUERY_LEN, postings_budget=512, candidate_cap=256)
 
     def make_queries():
