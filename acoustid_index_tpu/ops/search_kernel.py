@@ -415,8 +415,25 @@ def _batch_newest(mem_tier, cand_flat, valid_flat, mem_mentions_any=None):
 
     if mem_mentions_any is None:
         mem_mentions_any = mem_tier["mention_len"] > 0
+    # Mention-range gate (exact): the mention table is sorted ascending
+    # with 0xFFFFFFFF sentinel padding (build_mention_table), so no
+    # candidate outside [ids[0], ids[len-1]] can be mentioned.  The
+    # write-heavy serving state's memory tier mentions only a recent id
+    # window; a batch whose candidates are all older docs skips the whole
+    # lookup (measured 1.34x of the rw device slope,
+    # probes/_probe_rwsplit.py).  Sharded callers pass a GLOBAL
+    # mem_mentions_any; the range test is against the LOCAL table, which
+    # is exactly what the local lookup could find — pmax still combines
+    # the per-shard answers.  mention_len == 0 reads sentinels for lo/hi,
+    # and the mem_mentions_any conjunct already holds the gate shut.
+    ids = mem_tier["mention_ids"]
+    lo = ids[0]
+    hi = ids[jnp.maximum(mem_tier["mention_len"] - 1, 0)]
+    cand_u = cand_flat.astype(jnp.uint32)
+    in_range = jnp.logical_and(cand_u >= lo, cand_u <= hi)
+    any_in_range = jnp.any(jnp.logical_and(in_range, valid_flat.astype(bool)))
     return jax.lax.cond(
-        mem_mentions_any,
+        jnp.logical_and(mem_mentions_any, any_in_range),
         lookup,
         lambda _: jnp.full(cand_flat.shape, -1, jnp.int32),
         operand=None,
@@ -608,7 +625,17 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
     #     narrow variant is ~4x cheaper.  Candidate outputs keep the same
     #     (C,) shapes, and the fast path requires C <= P_SMALL so the rank
     #     sort's top-C slice stays well-formed.
-    has_mem = jnp.sum(mem_tier["seg_len"]) > 0
+    # "Memory tier live FOR THIS BATCH": at least one queried hash has a
+    # memory-tier posting.  Strictly sharper than the tier-nonempty test —
+    # the write-heavy serving state holds small recent segments that most
+    # query batches never touch (m_cnt all zero), and for those batches the
+    # mem-side gathers return pure sentinels, so skipping them is exact.
+    # Measured (probes/_probe_rwstate.py / _probe_rwsplit.py): the mem
+    # branch engaging on a mem-quiet batch costs ~1.4x of the rw slope.
+    # Supersession is NOT gated by this — a mem segment can supersede file
+    # candidates without holding any queried hash (_batch_newest has its
+    # own mention-range gate).
+    has_mem = jnp.sum(m_cnt) > 0
     small_ok = p.postings_budget > P_SMALL and p.candidate_cap <= P_SMALL
     if small_ok:
         p_small, totals_rough = small_budget(p, f_cnt, m_cnt, B)
@@ -730,7 +757,29 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
 
             p_mem = dataclasses.replace(p, postings_budget=P_MEM_DIRECT)
 
-            def mem_branch(_):
+            def run_select(d, o, inv, totals):
+                """Stages 3-7 on a candidate stream of EITHER width — the
+                matrix cost scales with the static width the caller chose."""
+                win, score, cand = jax.vmap(
+                    lambda d1, o1, i1, ms: _score_matrix(p, d1, o1, i1, ms)
+                )(d, o, inv, min_scores)
+                newest = _batch_newest(mem_tier, d.reshape(-1), cand.reshape(-1)).reshape(d.shape)
+
+                def select_one(d1, win1, score1, cand1, nw1, limit, min_score, pct, total, tr):
+                    out = _final_select_matrix(p, d1, score1, win1, cand1, nw1, limit, min_score, pct)
+                    out["postings_scanned"] = total
+                    out["truncated"] = tr
+                    return out
+
+                return jax.vmap(select_one)(
+                    d, win, score, cand, newest, limits, min_scores, pcts,
+                    totals, jnp.broadcast_to(trunc, (B,)),
+                )
+
+            def wide(_):
+                # Mem-live batch: gather the memory-tier postings (this
+                # branch is only selected when has_mem, so the gather is
+                # unconditional here) and score the concatenated stream.
                 def one(f_lo1, m_lo1, m_cnt1):
                     dm, _om, im, tot, _over = _plan_and_gather(
                         p_mem, file_tier, mem_tier, f_lo1, jnp.zeros_like(m_cnt1),
@@ -738,41 +787,34 @@ def _search_batch_impl(p: SearchParams, file_tier, mem_tier, queries, q_lens, li
                     )
                     return dm, im, tot
 
-                return jax.vmap(one)(f_lo, m_lo, m_cnt)
+                d_m, inv_m, totals_m = jax.vmap(one)(f_lo, m_lo, m_cnt)
+                d = jnp.concatenate([d_f, d_m], axis=1)
+                inv = jnp.concatenate([inv_f, inv_m], axis=1)
+                o = jnp.concatenate(
+                    [
+                        jnp.zeros(d_f.shape, jnp.int32),
+                        jnp.full(d_m.shape, TIER_MEM, jnp.int32),
+                    ],
+                    axis=1,
+                )
+                return run_select(d, o, inv, totals_f + totals_m)
 
-            def no_mem(_):
-                return (
-                    jnp.full((B, P_MEM_DIRECT), SENTINEL, jnp.uint32),
-                    jnp.ones((B, P_MEM_DIRECT), jnp.int32),
-                    jnp.zeros((B,), jnp.int32),
+            def narrow(_):
+                # Mem-quiet batch (no queried hash holds a memory-tier
+                # posting — the dominant case in the write-heavy serving
+                # state): the P_MEM_DIRECT columns would be pure sentinels,
+                # so score the file-only stream at its native width.  The
+                # (W, W) matrix stages scale quadratically with width, so
+                # skipping the 64 dead columns is the difference between
+                # (E*Q+F)^2 and (E*Q+F+64)^2 — measured ~1.5x on the rw
+                # state (probes/_probe_rwstate.py).  Supersession still
+                # runs: _batch_newest on the file-only stream (its
+                # mention-range gate usually skips the lookup too).
+                return run_select(
+                    d_f, jnp.zeros(d_f.shape, jnp.int32), inv_f, totals_f
                 )
 
-            d_m, inv_m, totals_m = jax.lax.cond(has_mem, mem_branch, no_mem, None)
-            d = jnp.concatenate([d_f, d_m], axis=1)
-            inv = jnp.concatenate([inv_f, inv_m], axis=1)
-            o = jnp.concatenate(
-                [
-                    jnp.zeros(d_f.shape, jnp.int32),
-                    jnp.full(d_m.shape, TIER_MEM, jnp.int32),
-                ],
-                axis=1,
-            )
-            totals = totals_f + totals_m
-            win, score, cand = jax.vmap(
-                lambda d1, o1, i1, ms: _score_matrix(p, d1, o1, i1, ms)
-            )(d, o, inv, min_scores)
-            newest = _batch_newest(mem_tier, d.reshape(-1), cand.reshape(-1)).reshape(d.shape)
-
-            def select_one(d1, win1, score1, cand1, nw1, limit, min_score, pct, total, tr):
-                out = _final_select_matrix(p, d1, score1, win1, cand1, nw1, limit, min_score, pct)
-                out["postings_scanned"] = total
-                out["truncated"] = tr
-                return out
-
-            return jax.vmap(select_one)(
-                d, win, score, cand, newest, limits, min_scores, pcts,
-                totals, jnp.broadcast_to(trunc, (B,)),
-            )
+            return jax.lax.cond(has_mem, wide, narrow, None)
 
         res = jax.lax.cond(direct_ok, direct_path, base_path, None)
         res["max_per_hash"] = max_per_hash

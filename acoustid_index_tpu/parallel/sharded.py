@@ -337,8 +337,14 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
                 params, f_search, m_search, queries, q_lens
             )
 
-        # Global predicates (see docstring).
-        has_mem = jax.lax.pmax(jnp.sum(m_search["seg_len"]), AXIS) > 0
+        # Global predicates (see docstring).  has_mem is the per-BATCH test
+        # (any queried hash holds a memory-tier posting on any shard) — the
+        # same sharpening as the single-chip program (_search_batch_impl);
+        # pmax keeps the cond globally consistent, which the collectives
+        # inside the branches (all_gather / combined_newest's pmax) require.
+        # Supersession is NOT gated by it: _batch_newest runs under
+        # mem_mentions_any with its own local mention-range gate.
+        has_mem = jax.lax.pmax(jnp.sum(m_cnt), AXIS) > 0
         mem_mentions_any = jax.lax.pmax(m_search["mention_len"], AXIS) > 0
 
         def combined_newest(d_flat, mask_flat):
@@ -460,7 +466,18 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
             def direct_path(_):
                 p_mem = dataclasses.replace(params, postings_budget=P_MEM_DIRECT)
 
-                def mem_branch(_):
+                def finish(d, o, inv, totals):
+                    d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
+                    o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
+                    inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
+                    return select_any(
+                        params, d_all, o_all, inv_all,
+                        totals, jnp.zeros((B,), jnp.bool_),
+                    )
+
+                def wide(_):
+                    # Mem-live batch (has_mem is the global per-batch test,
+                    # so the gather runs unconditionally here).
                     def one(f_lo1, m_lo1, m_cnt1):
                         dm, _om, im, tot, _over = _plan_and_gather(
                             p_mem, f_search, m_search, f_lo1, jnp.zeros_like(m_cnt1),
@@ -468,32 +485,31 @@ def sharded_search_batch(params: SearchParams, mesh: Mesh, file_tier, mem_tier, 
                         )
                         return dm, im, tot
 
-                    return jax.vmap(one)(f_lo, m_lo, m_cnt)
+                    d_m, inv_m, totals_m = jax.vmap(one)(f_lo, m_lo, m_cnt)
+                    d = jnp.concatenate([d_f, d_m], axis=1)
+                    inv = jnp.concatenate([inv_f, inv_m], axis=1)
+                    o = jnp.concatenate(
+                        [
+                            jnp.zeros(d_f.shape, jnp.int32),
+                            jnp.full(d_m.shape, TIER_MEM, jnp.int32),
+                        ],
+                        axis=1,
+                    )
+                    return finish(d, o, inv, totals_f + totals_m)
 
-                def no_mem(_):
-                    return (
-                        jnp.full((B, P_MEM_DIRECT), SENTINEL, jnp.uint32),
-                        jnp.ones((B, P_MEM_DIRECT), jnp.int32),
-                        jnp.zeros((B,), jnp.int32),
+                def narrow(_):
+                    # Mem-quiet batch: the P_MEM_DIRECT columns would be
+                    # pure sentinels on every shard, so gather/score the
+                    # file-only stream at its native width — the combined
+                    # matrix width drops by n_dev*P_MEM_DIRECT (see the
+                    # single-chip twin in search_kernel._search_batch_impl).
+                    # pmax'd has_mem keeps all shards in the same branch,
+                    # which the all_gathers require.
+                    return finish(
+                        d_f, jnp.zeros(d_f.shape, jnp.int32), inv_f, totals_f
                     )
 
-                d_m, inv_m, totals_m = jax.lax.cond(has_mem, mem_branch, no_mem, None)
-                d = jnp.concatenate([d_f, d_m], axis=1)
-                inv = jnp.concatenate([inv_f, inv_m], axis=1)
-                o = jnp.concatenate(
-                    [
-                        jnp.zeros(d_f.shape, jnp.int32),
-                        jnp.full(d_m.shape, TIER_MEM, jnp.int32),
-                    ],
-                    axis=1,
-                )
-                d_all = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
-                o_all = jax.lax.all_gather(o, AXIS, axis=1, tiled=True)
-                inv_all = jax.lax.all_gather(inv, AXIS, axis=1, tiled=True)
-                return select_any(
-                    params, d_all, o_all, inv_all,
-                    totals_f + totals_m, jnp.zeros((B,), jnp.bool_),
-                )
+                return jax.lax.cond(has_mem, wide, narrow, None)
 
             out, totals, overs = jax.lax.cond(direct_ok, direct_path, base_path, None)
         else:

@@ -95,6 +95,27 @@ def test_file_and_memory_tiers_combine():
     run_both([f1, f2], [m1], [10, 20, 30, 40], min_score=1)
 
 
+def test_mem_mention_kills_file_candidate_without_hash_overlap():
+    # The memory-tier update shares NO hash with the query, so the batch's
+    # mem-side gathers are skipped (m_cnt all zero — the "mem live for this
+    # batch" gate), but the mention-range gate must still let supersession
+    # kill the file-tier candidate.
+    f = seg_from_docs({1: [10, 20], 2: [10, 30]}, commit_id=1)
+    m = seg_from_docs({1: [99]}, commit_id=2)
+    res = run_both([f], [m], [10, 20, 30], min_score=1, pct=0)
+    assert res == [(2, 2)]
+
+
+def test_mem_delete_only_segment_kills_file_candidate():
+    # A delete-only memory segment holds zero postings (the old
+    # tier-nonempty gate would read it as "no memory tier") yet must still
+    # supersede the file-tier candidate through the mention table.
+    f = seg_from_docs({1: [10, 20], 2: [10, 30]}, commit_id=1)
+    m = seg_from_docs({}, commit_id=2, deletes=[1])
+    res = run_both([f], [m], [10, 20, 30], min_score=1, pct=0)
+    assert res == [(2, 2)]
+
+
 def test_min_score_filters():
     seg = seg_from_docs({1: [10], 2: [10, 20], 3: [10, 20, 30]}, commit_id=1)
     res = run_both([], [seg], [10, 20, 30], min_score=2, pct=0)
